@@ -1,0 +1,20 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+Multi-chip sharding is validated on a virtual CPU mesh (the driver separately
+dry-runs the multi-chip path); float64 is enabled because the reference's test
+suite runs in double precision (/root/reference/tests/test_sdeint.py:27).
+
+Note: the axon TPU plugin ignores the JAX_PLATFORMS environment variable, so
+we must set the config flag before any backend initialisation.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,292 @@
+"""Tests for BrownianInterval.
+
+Port of the reference test strategy (/root/reference/tests/test_brownian_interval.py):
+shapes for all (levy, return_U, return_A) combos including 0-d/1-d sizes,
+determinism, Kolmogorov-Smirnov normality of the unconditional and conditional
+bridge laws for W and H, increment/U-chain consistency, and entropy determinism
+with query-order permutation invariance (which holds unconditionally here —
+the sampler is counter-based, there is no query-dependent tree).
+
+Batch sizes / repetition counts are scaled down vs the reference to keep the
+CPU threefry budget sane; the KS alpha matches the reference (1e-5).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.random as npr
+import pytest
+from scipy.stats import kstest
+
+import torchsde_tpu as tsde
+
+D = 3
+SMALL_BATCH_SIZE = 16
+LARGE_BATCH_SIZE = 65536
+REPS = 2
+MEDIUM_REPS = 4
+LARGE_REPS = 50
+ALPHA = 0.00001
+
+_rng = npr.RandomState(1147481649)
+
+
+def _U_to_H(W, U, h):
+    return U / h - 0.5 * W
+
+
+def _setup(levy_area_approximation, shape, entropy=None):
+    ta, tb = sorted(_rng.uniform(0., 1., size=2))
+    bm = tsde.BrownianInterval(t0=0., t1=1., size=shape, dtype=jnp.float64,
+                               entropy=entropy,
+                               levy_area_approximation=levy_area_approximation)
+    return float(ta), float(tb), bm
+
+
+def _levy_returns():
+    out = [("none", False, False),
+           ("space-time", False, False),
+           ("space-time", True, False)]
+    for levy in ("davie", "foster"):
+        for return_U in (True, False):
+            for return_A in (True, False):
+                out.append((levy, return_U, return_A))
+    return out
+
+
+def _as_tuple(val):
+    return (val,) if not isinstance(val, tuple) else val
+
+
+@pytest.mark.parametrize("levy_area_approximation, return_U, return_A", _levy_returns())
+def test_shape(levy_area_approximation, return_U, return_A):
+    for shape, A_shape in (((SMALL_BATCH_SIZE, D), (SMALL_BATCH_SIZE, D, D)),
+                           ((SMALL_BATCH_SIZE,), (SMALL_BATCH_SIZE,)),
+                           ((), ())):
+        ta, tb, bm = _setup(levy_area_approximation, shape)
+        with pytest.warns(UserWarning):
+            sample1 = bm(ta, return_U=return_U, return_A=return_A)
+        sample3 = bm(ta, tb, return_U=return_U, return_A=return_A)
+        shapes, A_shapes = [], []
+        for sample in (sample1, sample3):
+            parts = list(_as_tuple(sample))
+            W = parts.pop(0)
+            shapes.append(W.shape)
+            if return_U:
+                shapes.append(parts.pop(0).shape)
+            if return_A:
+                A_shapes.append(parts.pop(0).shape)
+        for s in shapes:
+            assert tuple(s) == shape
+        for s in A_shapes:
+            assert tuple(s) == A_shape
+
+
+@pytest.mark.parametrize("levy_area_approximation, return_U, return_A", _levy_returns())
+def test_determinism_simple(levy_area_approximation, return_U, return_A):
+    ta, tb, bm = _setup(levy_area_approximation, (SMALL_BATCH_SIZE, D))
+    vals = [_as_tuple(bm(ta, tb, return_U=return_U, return_A=return_A))
+            for _ in range(REPS)]
+    for val in vals[1:]:
+        for v, v0 in zip(val, vals[0]):
+            assert bool(jnp.all(v == v0))
+
+
+@pytest.mark.parametrize("levy_area_approximation, return_U, return_A",
+                         [("none", False, False), ("space-time", True, False),
+                          ("foster", True, True)])
+def test_determinism_large(levy_area_approximation, return_U, return_A):
+    """Re-query many random intervals; all values must reproduce exactly."""
+    _, _, bm = _setup(levy_area_approximation, (SMALL_BATCH_SIZE, D))
+    query = jax.jit(lambda a, b: bm(a, b, return_U=return_U, return_A=return_A))
+    cache = {}
+    for _ in range(LARGE_REPS):
+        ta_, tb_ = sorted(_rng.uniform(0., 1., size=2))
+        cache[(ta_, tb_)] = _as_tuple(query(ta_, tb_))
+    for (ta_, tb_), vals in cache.items():
+        vals2 = _as_tuple(query(ta_, tb_))
+        for v1, v2 in zip(vals, vals2):
+            assert bool(jnp.all(v1 == v2))
+
+
+@pytest.mark.parametrize("levy_area_approximation",
+                         ["none", "space-time", "davie", "foster"])
+def test_normality_simple(levy_area_approximation):
+    t0, t1 = 0.0, 1.0
+    for _ in range(REPS):
+        base_W = jnp.full((LARGE_BATCH_SIZE,), float(_rng.randn()), jnp.float64)
+        bm = tsde.BrownianInterval(t0=t0, t1=t1, W=base_W,
+                                   levy_area_approximation=levy_area_approximation)
+        t_ = float(_rng.uniform(low=t0 + 0.05, high=t1 - 0.05))
+
+        W = bm(t0, t_)
+        mean_W = base_W * (t_ - t0) / (t1 - t0)
+        std_W = math.sqrt((t1 - t_) * (t_ - t0) / (t1 - t0))
+        rescaled_W = (W - mean_W) / std_W
+        _, pval = kstest(np.asarray(rescaled_W), "norm")
+        assert pval >= ALPHA
+
+        if levy_area_approximation != "none":
+            W, U = bm(t0, t_, return_U=True)
+            H = _U_to_H(W, U, t_ - t0)
+            std_H = math.sqrt((t_ - t0) / 12)
+            _, pval = kstest(np.asarray(H / std_H), "norm")
+            assert pval >= ALPHA
+
+
+@pytest.mark.parametrize("levy_area_approximation", ["none", "space-time"])
+def test_normality_conditional(levy_area_approximation):
+    """Conditional bridge laws for W and H at interior points
+    (reference test_brownian_interval.py:199-258)."""
+    t0, t1 = 0.0, 1.0
+    have_H = levy_area_approximation != "none"
+    for _ in range(REPS):
+        bm = tsde.BrownianInterval(t0=t0, t1=t1, size=(LARGE_BATCH_SIZE,),
+                                   dtype=jnp.float64,
+                                   levy_area_approximation=levy_area_approximation)
+        query = jax.jit(lambda a, b: bm(a, b, return_U=True)) if have_H \
+            else jax.jit(lambda a, b: bm(a, b))
+        for _ in range(MEDIUM_REPS):
+            ta, t_, tb = sorted(_rng.uniform(low=0.05, high=0.95, size=3))
+            if min(t_ - ta, tb - t_) < 0.01:
+                continue
+
+            if have_H:
+                W, U = query(ta, tb)
+                W1, U1 = query(ta, t_)
+                W2, U2 = query(t_, tb)
+            else:
+                W, W1, W2 = query(ta, tb), query(ta, t_), query(t_, tb)
+
+            mean_W1 = W * (t_ - ta) / (tb - ta)
+            std_W = math.sqrt((tb - t_) * (t_ - ta) / (tb - ta))
+            _, pval = kstest(np.asarray((W1 - mean_W1) / std_W), "norm")
+            assert pval >= ALPHA
+
+            mean_W2 = W * (tb - t_) / (tb - ta)
+            _, pval = kstest(np.asarray((W2 - mean_W2) / std_W), "norm")
+            assert pval >= ALPHA
+
+            if have_H:
+                h, h1, h2 = tb - ta, t_ - ta, tb - t_
+                denom = math.sqrt(h1 ** 3 + h2 ** 3)
+                a = h1 ** 3.5 * h2 ** 0.5 / (2 * h * denom)
+                b = h1 ** 0.5 * h2 ** 3.5 / (2 * h * denom)
+                c = math.sqrt(3) * h1 ** 1.5 * h2 ** 1.5 / (6 * denom)
+
+                H = _U_to_H(W, U, h)
+                H1 = _U_to_H(W1, U1, h1)
+                H2 = _U_to_H(W2, U2, h2)
+
+                mean_H1 = H * (h1 / h) ** 2
+                std_H1 = math.sqrt(a ** 2 + c ** 2) / h1
+                _, pval = kstest(np.asarray((H1 - mean_H1) / std_H1), "norm")
+                assert pval >= ALPHA
+
+                mean_H2 = H * (h2 / h) ** 2
+                std_H2 = math.sqrt(b ** 2 + c ** 2) / h2
+                _, pval = kstest(np.asarray((H2 - mean_H2) / std_H2), "norm")
+                assert pval >= ALPHA
+
+
+@pytest.mark.parametrize("levy_area_approximation",
+                         ["none", "space-time", "davie", "foster"])
+def test_consistency(levy_area_approximation):
+    """W additivity and the U chain rule (reference test:261-288)."""
+    t0, t1 = 0.0, 1.0
+    have_H = levy_area_approximation != "none"
+    bm = tsde.BrownianInterval(t0=t0, t1=t1, size=(4096,), dtype=jnp.float64,
+                               levy_area_approximation=levy_area_approximation)
+    for _ in range(MEDIUM_REPS):
+        ta, t_, tb = sorted(_rng.uniform(low=t0, high=t1, size=3))
+        if have_H:
+            W, U = bm(ta, tb, return_U=True)
+            W1, U1 = bm(ta, t_, return_U=True)
+            W2, U2 = bm(t_, tb, return_U=True)
+        else:
+            W, W1, W2 = bm(ta, tb), bm(ta, t_), bm(t_, tb)
+        np.testing.assert_allclose(np.asarray(W1 + W2), np.asarray(W),
+                                   rtol=1e-6, atol=1e-6)
+        if have_H:
+            np.testing.assert_allclose(np.asarray(U1 + U2 + (tb - t_) * W1),
+                                       np.asarray(U), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("random_order", [False, True])
+@pytest.mark.parametrize("levy_area_approximation, return_U, return_A",
+                         [("none", False, False), ("space-time", True, False),
+                          ("foster", True, True)])
+def test_entropy_determinism(random_order, levy_area_approximation, return_U, return_A):
+    """Same entropy => same sample path, regardless of query order.
+
+    The reference only guarantees order-independence under halfway_tree=True;
+    our counter-based sampler guarantees it always.
+    """
+    entropy = 56789
+    n = 100
+    points1 = _rng.uniform(0., 1., size=n)
+    points2 = _rng.uniform(0., 1., size=n)
+
+    def make_bm():
+        return tsde.BrownianInterval(t0=0., t1=1., size=(), dtype=jnp.float64,
+                                     levy_area_approximation=levy_area_approximation,
+                                     entropy=entropy, tol=1e-6)
+
+    bm = make_bm()
+    query = jax.jit(lambda a, b: bm(a, b, return_U=return_U, return_A=return_A))
+    outs = []
+    for p1, p2 in zip(points1, points2):
+        p1, p2 = sorted([p1, p2])
+        outs.append(_as_tuple(query(p1, p2)))
+
+    bm2 = make_bm()
+    query2 = jax.jit(lambda a, b: bm2(a, b, return_U=return_U, return_A=return_A))
+    idx = np.arange(n)
+    if random_order:
+        idx = _rng.permutation(n)
+    for i in idx:
+        p1, p2 = sorted([points1[i], points2[i]])
+        out_ = _as_tuple(query2(p1, p2))
+        for a, b in zip(outs[i], out_):
+            assert bool(jnp.all(a == b))
+
+
+def test_inside_jit_and_scan():
+    """Queries with traced times inside jit / lax.scan (the solver hot path)."""
+    bm = tsde.BrownianInterval(t0=0., t1=1., size=(8, 2), dtype=jnp.float64,
+                               entropy=42,
+                               levy_area_approximation="space-time")
+
+    @jax.jit
+    def roll(ts):
+        def body(carry, tpair):
+            W, U = bm(tpair[0], tpair[1], return_U=True)
+            return carry + W.sum() + U.sum(), W
+        total, Ws = jax.lax.scan(body, 0.0, ts)
+        return total, Ws
+
+    grid = jnp.linspace(0., 1., 11)
+    tpairs = jnp.stack([grid[:-1], grid[1:]], axis=1)
+    total, Ws = roll(tpairs)
+    # Sum of scan-queried increments == one big increment (exact additivity).
+    W_full = bm(0., 1.)
+    np.testing.assert_allclose(np.asarray(Ws.sum(0)), np.asarray(W_full), atol=1e-9)
+
+
+def test_w_h_overrides_and_repr():
+    W = jnp.ones((4, 2), jnp.float64)
+    bm = tsde.BrownianInterval(t0=0., t1=1., W=W, entropy=1,
+                               levy_area_approximation="space-time")
+    full = bm(0., 1.)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(W), atol=1e-12)
+    assert "BrownianInterval" in repr(bm)
+    assert bm.shape == (4, 2)
+
+
+def test_brownian_interval_like():
+    y = jnp.zeros((5, 3), jnp.float64)
+    bm = tsde.brownian_interval_like(y, entropy=9)
+    assert bm.shape == (5, 3)
+    assert bm.dtype == jnp.float64

@@ -1,0 +1,296 @@
+"""Public forward-integration entry point.
+
+Parity target: /root/reference/torchsde/_core/sdeint.py. ``check_contract``
+reproduces the reference's validation semantics (sdeint.py:115-258) but probes
+the user's drift/diffusion with ``jax.eval_shape`` — shape inference with zero
+FLOPs — instead of executing them once on real data.
+
+Noise strategy (TPU-first redesign, see SURVEY.md §7.1):
+
+* fixed-step solve and no user-supplied ``bm``: the per-step increments are
+  independent across steps, so they are sampled in one fused pass on device
+  (``integrate.sample_grid_noise``) — no tree, no per-step descent.
+* a ``BaseBrownian`` object (or ``adaptive=True``): each step queries the
+  interval API inside the scan/while loop, still fully on device.
+"""
+
+import math
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import base_sde, integrate, solvers
+from ..brownian.interval import BrownianInterval
+from ..settings import LEVY_AREA_APPROXIMATIONS, METHODS, NOISE_TYPES, SDE_TYPES
+from ..utils import misc
+
+
+def sdeint(sde,
+           y0,
+           ts,
+           bm=None,
+           method=None,
+           dt=1e-3,
+           adaptive=False,
+           rtol=1e-5,
+           atol=1e-4,
+           dt_min=1e-5,
+           options=None,
+           names=None,
+           logqp=False,
+           extra=False,
+           extra_solver_state=None,
+           key=None,
+           entropy=None,
+           **unused_kwargs):
+    """Numerically integrate an SDE. See reference sdeint.py:27-89 for the
+    contract; this implementation is jit-compatible end to end.
+
+    Additional kwargs vs the reference: ``key``/``entropy`` seed the default
+    Brownian noise when ``bm`` is not supplied (the reference draws a random
+    host seed in that case, which we also do if neither is given).
+    """
+    misc.handle_unused_kwargs(unused_kwargs, msg="`sdeint`")
+    del unused_kwargs
+
+    sde, y0, ts, bm, method, options = check_contract(
+        sde, y0, ts, bm, method, adaptive, options, names, logqp, key, entropy)
+
+    solver_cls = solvers.select(method=method, sde_type=sde.sde_type)
+    bm_for_solver = None if isinstance(bm, _BMWrapper) else bm
+    solver = solver_cls(sde=sde, bm=bm_for_solver,
+                        dt=dt, adaptive=adaptive, rtol=rtol, atol=atol,
+                        dt_min=dt_min, options=options)
+
+    if extra_solver_state is None:
+        t0_arr = jnp.asarray(ts[0], _time_dtype(y0))
+        extra_solver_state = solver.init_extra_solver_state(t0_arr, y0)
+
+    ys, extra_solver_state = _integrate(solver, sde, y0, ts, bm, method, dt,
+                                        adaptive, rtol, atol, dt_min, extra_solver_state)
+    return parse_return(y0, ys, extra_solver_state, extra, logqp)
+
+
+def _time_dtype(y0):
+    dt = jnp.result_type(y0)
+    return dt if jnp.issubdtype(dt, jnp.floating) else jnp.float32
+
+
+class _BMWrapper:
+    """Marker for a default (framework-owned) noise source: fixed-step solves
+    may sample its increments in one pass instead of querying per step."""
+
+    def __init__(self, bm):
+        self.bm = bm
+
+
+def _integrate(solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol,
+               dt_min, extra_solver_state):
+    time_dtype = _time_dtype(y0)
+    if adaptive:
+        bm_obj = bm.bm if isinstance(bm, _BMWrapper) else bm
+        if method == METHODS.euler and sde.noise_type != NOISE_TYPES.additive:
+            pass  # warning already emitted in check_contract
+        return integrate.integrate_adaptive(
+            solver, y0, extra_solver_state, ts, bm_obj, dt, rtol, atol, dt_min,
+            time_dtype=time_dtype)
+
+    grid = integrate.build_step_grid(ts[0], ts[-1], dt)
+    if isinstance(bm, _BMWrapper):
+        inner = bm.bm
+        noise_xs = integrate.sample_grid_noise(
+            inner._key, grid, tuple(inner.shape), inner.dtype,
+            needs_U=solver.needs_U, needs_A=solver.needs_A,
+            levy_area_approximation=inner.levy_area_approximation)
+        return integrate.integrate_fixed(
+            solver, y0, extra_solver_state, grid, ts, noise_xs=noise_xs,
+            time_dtype=time_dtype)
+    return integrate.integrate_fixed(
+        solver, y0, extra_solver_state, grid, ts, bm=bm, time_dtype=time_dtype)
+
+
+def check_contract(sde, y0, ts, bm, method, adaptive, options, names, logqp,
+                   key=None, entropy=None):
+    """Validate traits/shapes and fill in defaults (reference sdeint.py:115-281)."""
+    if names is None:
+        names_to_change = {}
+    else:
+        names_to_change = {k: names[k] for k in ("drift", "diffusion", "prior_drift",
+                                                 "drift_and_diffusion",
+                                                 "drift_and_diffusion_prod")
+                           if k in names}
+    if len(names_to_change) > 0:
+        sde = base_sde.RenameMethodsSDE(sde, **names_to_change)
+
+    if not hasattr(sde, "noise_type"):
+        raise ValueError("sde does not have the attribute noise_type.")
+    if sde.noise_type not in NOISE_TYPES:
+        raise ValueError(f"Expected noise type in {NOISE_TYPES}, but found {sde.noise_type}.")
+    if not hasattr(sde, "sde_type"):
+        raise ValueError("sde does not have the attribute sde_type.")
+    if sde.sde_type not in SDE_TYPES:
+        raise ValueError(f"Expected sde type in {SDE_TYPES}, but found {sde.sde_type}.")
+
+    y0 = jnp.asarray(y0)
+    if y0.ndim != 2:
+        raise ValueError("`y0` must be a 2-dimensional tensor of shape (batch, channels).")
+
+    if logqp:
+        sde = base_sde.SDELogqp(sde)
+        y0 = jnp.concatenate([y0, jnp.zeros((y0.shape[0], 1), y0.dtype)], axis=1)
+
+    if method is None:
+        method = {
+            SDE_TYPES.ito: {
+                NOISE_TYPES.diagonal: METHODS.srk,
+                NOISE_TYPES.additive: METHODS.srk,
+                NOISE_TYPES.scalar: METHODS.srk,
+                NOISE_TYPES.general: METHODS.euler,
+            }[sde.noise_type],
+            SDE_TYPES.stratonovich: METHODS.midpoint,
+        }[sde.sde_type]
+    if method not in METHODS:
+        raise ValueError(f"Expected method in {METHODS}, but found {method}.")
+
+    try:
+        ts = np.asarray(ts, np.float64)
+    except Exception as e:
+        raise ValueError("Evaluation times `ts` must be a 1-D array or list/tuple of "
+                         "floats, concrete at trace time.") from e
+    if ts.ndim != 1:
+        raise ValueError("Evaluation times `ts` must be one-dimensional.")
+    if not misc.is_strictly_increasing(ts):
+        raise ValueError("Evaluation times `ts` must be strictly increasing.")
+
+    batch_sizes, state_sizes, noise_sizes = [], [], []
+    batch_sizes.append(y0.shape[0])
+    state_sizes.append(y0.shape[1])
+    if bm is not None:
+        if len(bm.shape) != 2:
+            raise ValueError("`bm` must be of shape (batch, noise_channels).")
+        batch_sizes.append(bm.shape[0])
+        noise_sizes.append(bm.shape[1])
+
+    def _check_2d(name, shape):
+        if len(shape) != 2:
+            raise ValueError(f"{name} must be of shape (batch, state_channels), "
+                             f"but got {tuple(shape)}.")
+        batch_sizes.append(shape[0])
+        state_sizes.append(shape[1])
+
+    def _check_2d_or_3d(name, shape):
+        if sde.noise_type == NOISE_TYPES.diagonal:
+            if len(shape) != 2:
+                raise ValueError(f"{name} must be of shape (batch, state_channels), "
+                                 f"but got {tuple(shape)}.")
+            batch_sizes.append(shape[0])
+            state_sizes.append(shape[1])
+            noise_sizes.append(shape[1])
+        else:
+            if len(shape) != 3:
+                raise ValueError(f"{name} must be of shape (batch, state_channels, "
+                                 f"noise_channels), but got {tuple(shape)}.")
+            batch_sizes.append(shape[0])
+            state_sizes.append(shape[1])
+            noise_sizes.append(shape[2])
+
+    t0_spec = jax.ShapeDtypeStruct((), y0.dtype)
+    y0_spec = jax.ShapeDtypeStruct(y0.shape, y0.dtype)
+
+    has_f = has_g = False
+    if base_sde.sde_has_method(sde, "f"):
+        has_f = True
+        f_shape = jax.eval_shape(sde.f, t0_spec, y0_spec).shape
+        _check_2d("Drift", f_shape)
+    if base_sde.sde_has_method(sde, "g"):
+        has_g = True
+        g_shape = jax.eval_shape(sde.g, t0_spec, y0_spec).shape
+        _check_2d_or_3d("Diffusion", g_shape)
+    if base_sde.sde_has_method(sde, "f_and_g"):
+        has_f = has_g = True
+        f_spec, g_spec = jax.eval_shape(sde.f_and_g, t0_spec, y0_spec)
+        _check_2d("Drift", f_spec.shape)
+        _check_2d_or_3d("Diffusion", g_spec.shape)
+    if base_sde.sde_has_method(sde, "g_prod"):
+        has_g = True
+        if len(noise_sizes) == 0:
+            raise ValueError("Cannot infer noise size (i.e. number of Brownian motion "
+                             "channels). Either pass `bm` explicitly, or specify one "
+                             "of the `g`, `f_and_g` functions.`")
+        v_spec = jax.ShapeDtypeStruct((batch_sizes[0], noise_sizes[0]), y0.dtype)
+        gp_shape = jax.eval_shape(sde.g_prod, t0_spec, y0_spec, v_spec).shape
+        _check_2d("Diffusion-vector product", gp_shape)
+    if base_sde.sde_has_method(sde, "f_and_g_prod"):
+        has_f = has_g = True
+        if len(noise_sizes) == 0:
+            raise ValueError("Cannot infer noise size (i.e. number of Brownian motion "
+                             "channels). Either pass `bm` explicitly, or specify one "
+                             "of the `g`, `f_and_g` functions.`")
+        v_spec = jax.ShapeDtypeStruct((batch_sizes[0], noise_sizes[0]), y0.dtype)
+        f_spec, gp_spec = jax.eval_shape(sde.f_and_g_prod, t0_spec, y0_spec, v_spec)
+        _check_2d("Drift", f_spec.shape)
+        _check_2d("Diffusion-vector product", gp_spec.shape)
+
+    if not has_f:
+        raise ValueError("sde must define at least one of `f`, `f_and_g`, or "
+                         "`f_and_g_prod`. (Or possibly more depending on the method "
+                         "chosen.)")
+    if not has_g:
+        raise ValueError("sde must define at least one of `g`, `f_and_g`, `g_prod` or "
+                         "`f_and_g_prod`. (Or possibly more depending on the method "
+                         "chosen.)")
+
+    for b in batch_sizes[1:]:
+        if b != batch_sizes[0]:
+            raise ValueError("Batch sizes not consistent.")
+    for s in state_sizes[1:]:
+        if s != state_sizes[0]:
+            raise ValueError("State sizes not consistent.")
+    for n in noise_sizes[1:]:
+        if n != noise_sizes[0]:
+            raise ValueError("Noise sizes not consistent.")
+
+    if sde.noise_type == NOISE_TYPES.scalar and noise_sizes[0] != 1:
+        raise ValueError(f"Scalar noise must have only one channel; the diffusion has "
+                         f"{noise_sizes[0]} noise channels.")
+
+    sde = base_sde.ForwardSDE(sde)
+
+    if bm is None:
+        if method == METHODS.srk:
+            levy = LEVY_AREA_APPROXIMATIONS.space_time
+        elif method == METHODS.log_ode_midpoint:
+            levy = LEVY_AREA_APPROXIMATIONS.foster
+        else:
+            levy = LEVY_AREA_APPROXIMATIONS.none
+        inner = BrownianInterval(t0=float(ts[0]), t1=float(ts[-1]),
+                                 size=(batch_sizes[0], noise_sizes[0]),
+                                 dtype=y0.dtype, entropy=entropy, key=key,
+                                 levy_area_approximation=levy)
+        bm = _BMWrapper(inner)
+
+    options = {} if options is None else dict(options)
+
+    if adaptive and method == METHODS.euler and sde.noise_type != NOISE_TYPES.additive:
+        warnings.warn("Numerical solution is not guaranteed to converge to the correct "
+                      "solution when using adaptive time-stepping with the "
+                      "Euler--Maruyama method with non-additive noise.")
+
+    return sde, y0, ts, bm, method, options
+
+
+def parse_return(y0, ys, extra_solver_state, extra, logqp):
+    """Split off the logqp channel and difference it per output interval
+    (reference sdeint.py:284-300)."""
+    if logqp:
+        d = y0.shape[1] - 1
+        ys, log_ratio = ys[..., :d], ys[..., d:]
+        log_ratio_increments = jnp.squeeze(log_ratio[1:] - log_ratio[:-1], axis=2)
+        if extra:
+            return ys, log_ratio_increments, extra_solver_state
+        return ys, log_ratio_increments
+    if extra:
+        return ys, extra_solver_state
+    return ys
