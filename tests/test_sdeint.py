@@ -1,0 +1,254 @@
+"""Tests for sdeint (port of /root/reference/tests/test_sdeint.py).
+
+Covers: (a) the run-vs-raise solver/noise/Levy compatibility matrix,
+(b) output shapes incl. logqp, (c) bitwise equivalence of all capability
+spellings, (d) `names=` renaming, (e) algebraic reversibility of
+reversible_heun, (f) unused-parameter robustness. The parameter grid is
+thinned vs the reference (each eager JAX solve compiles its scan) without
+losing any (method x noise x levy) compatibility cell.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchsde_tpu as tsde
+from torchsde_tpu.settings import NOISE_TYPES
+
+import problems
+
+batch_size = 4
+d = 3
+m = 2
+t0 = 0.0
+t1 = 0.3
+T = 5
+dt = 0.05
+DTYPE = jnp.float64
+BM_LEVELS = 8  # keep the in-loop dyadic descent cheap in tests
+
+
+def _bm_levy_options():
+    return [(False, None), (True, "none"), (True, "space-time"), (True, "foster")]
+
+
+def test_rename_methods():
+    sde = problems.CustomNamesSDE()
+    y0 = jnp.ones((batch_size, d), DTYPE)
+    ts = np.linspace(t0, t1, T)
+    ans = tsde.sdeint(sde, y0, ts, dt=dt, names={"drift": "forward"}, entropy=0)
+    assert ans.shape == (T, batch_size, d)
+
+
+def test_rename_methods_logqp():
+    sde = problems.CustomNamesSDELogqp()
+    y0 = jnp.ones((batch_size, d), DTYPE)
+    ts = np.linspace(t0, t1, T)
+    ans = tsde.sdeint(sde, y0, ts, dt=dt,
+                      names={"drift": "forward", "prior_drift": "w"}, logqp=True,
+                      entropy=0)
+    assert ans[0].shape == (T, batch_size, d)
+    assert ans[1].shape == (T - 1, batch_size)
+
+
+@pytest.mark.parametrize("sde_type,method", [("ito", "euler"), ("stratonovich", "midpoint")])
+def test_specialised_functions(sde_type, method):
+    """All capability spellings must produce bitwise-identical trajectories
+    given the same seeded BrownianInterval (reference test_sdeint.py:80-98)."""
+    vector = jax.random.normal(jax.random.PRNGKey(11), (m,), DTYPE)
+    y0 = jax.random.normal(jax.random.PRNGKey(12), (batch_size, d), DTYPE)
+
+    sdes = [problems.FGSDE(sde_type, vector),
+            problems.FAndGSDE(sde_type, vector),
+            problems.GProdSDE(sde_type, vector),
+            problems.FAndGProdSDE(sde_type, vector),
+            problems.FAndGGProdSDE1(sde_type, vector),
+            problems.FAndGGProdSDE2(sde_type, vector)]
+    outs = []
+    for sde in sdes:
+        bm = tsde.BrownianInterval(t0, t1, (batch_size, m), dtype=DTYPE,
+                                   entropy=45678, levels=BM_LEVELS)
+        outs.append(tsde.sdeint(sde, y0, [t0, t1], dt=dt, bm=bm, method=method)[1])
+    for o in outs[1:]:
+        assert o.shape == outs[0].shape
+        assert bool(jnp.all(o == outs[0]))
+
+
+def _make_sde(sde_cls, sde_type):
+    if sde_cls.noise_type in (NOISE_TYPES.scalar, NOISE_TYPES.diagonal):
+        return sde_cls(d=d, sde_type=sde_type)
+    return sde_cls(d=d, m=m, sde_type=sde_type)
+
+
+def _bm_for(sde_cls, levy, logqp=False):
+    if sde_cls.noise_type == "scalar":
+        size = (batch_size, 1)
+    elif sde_cls.noise_type == "diagonal":
+        size = (batch_size, d + 1) if logqp else (batch_size, d)
+    else:
+        size = (batch_size, m)
+    # Depth 2 keeps the eager dyadic descent cheap; the run/raise matrix does
+    # not care about statistical quality (that's test_brownian_interval.py).
+    return tsde.BrownianInterval(t0=t0, t1=t1, size=size, dtype=DTYPE,
+                                 levy_area_approximation=levy, levels=2,
+                                 entropy=10)
+
+
+@pytest.mark.parametrize("sde_cls", [problems.ExDiagonal, problems.ExScalar,
+                                     problems.ExAdditive, problems.NeuralGeneral])
+@pytest.mark.parametrize("use_bm,levy_area_approximation", _bm_levy_options())
+@pytest.mark.parametrize("sde_type", ["ito", "stratonovich"])
+@pytest.mark.parametrize("method",
+                         ["blah", "euler", "milstein", "milstein_grad_free", "srk",
+                          "euler_heun", "heun", "midpoint", "log_ode"])
+def test_sdeint_run_shape_method(sde_cls, use_bm, levy_area_approximation, sde_type,
+                                 method):
+    """Run-vs-raise must exactly match the documented compatibility table."""
+    options = {}
+    if method == "milstein_grad_free":
+        method = "milstein"
+        options = dict(grad_free=True)
+
+    should_fail = False
+    if sde_type == "ito":
+        if method not in ("euler", "srk", "milstein"):
+            should_fail = True
+    else:
+        if method not in ("euler_heun", "heun", "midpoint", "log_ode", "milstein"):
+            should_fail = True
+    if method in ("milstein", "srk") and sde_cls.noise_type == "general":
+        should_fail = True
+    if use_bm:
+        if method == "srk" and levy_area_approximation == "none":
+            should_fail = True
+        if method == "log_ode" and levy_area_approximation in ("none", "space-time"):
+            should_fail = True
+
+    sde = _make_sde(sde_cls, sde_type)
+    bm = _bm_for(sde_cls, levy_area_approximation) if use_bm else None
+    _run_sdeint(sde, bm, method, should_fail, options, logqp=False)
+
+
+@pytest.mark.parametrize("sde_cls", [problems.ExDiagonal, problems.ExScalar,
+                                     problems.ExAdditive, problems.NeuralGeneral])
+def test_sdeint_logqp(sde_cls):
+    sde = _make_sde(sde_cls, "ito")
+    method = "euler"
+    bm = _bm_for(sde_cls, "none", logqp=True)
+    _run_sdeint(sde, bm, method, should_fail=False, options={}, logqp=True)
+
+
+@pytest.mark.parametrize("sde_cls", [problems.BasicSDE1, problems.BasicSDE2,
+                                     problems.BasicSDE3, problems.BasicSDE4])
+@pytest.mark.parametrize("method", ["euler", "milstein", "milstein_grad_free", "srk"])
+def test_sdeint_dependencies(sde_cls, method):
+    """Solvers must tolerate drift/diffusion that ignore state or parameters."""
+    options = {}
+    if method == "milstein_grad_free":
+        method = "milstein"
+        options = dict(grad_free=True)
+    sde = sde_cls(d=d)
+    _run_sdeint(sde, None, method, should_fail=False, options=options, logqp=False)
+
+
+def _run_sdeint(sde, bm, method, should_fail, options, logqp):
+    # The run-vs-raise matrix is large; op-by-op eager execution (no XLA
+    # compiles) keeps it fast. Compiled-path exactness is covered by
+    # test_specialised_functions / test_reversibility and the brownian suite.
+    with jax.disable_jit():
+        return _run_sdeint_impl(sde, bm, method, should_fail, options, logqp)
+
+
+def _run_sdeint_impl(sde, bm, method, should_fail, options, logqp):
+    y0 = jnp.ones((batch_size, d), DTYPE)
+    ts = np.linspace(t0, t1, T)
+    try:
+        ans = tsde.sdeint(sde, y0, ts, bm, method=method, dt=dt, logqp=logqp,
+                          options=options, entropy=0)
+    except ValueError:
+        if should_fail:
+            return
+        raise
+    if should_fail:
+        pytest.fail("Expected an error; did not get one.")
+    if logqp:
+        ans, log_ratio = ans
+        assert log_ratio.shape == (T - 1, batch_size)
+    assert ans.shape == (T, batch_size, d)
+    assert bool(jnp.all(jnp.isfinite(ans)))
+
+    # Using `h` as drift via names=.
+    ans = tsde.sdeint(sde, y0, ts, bm, method=method, dt=dt, logqp=logqp,
+                      names={"drift": "h"}, options=options, entropy=0)
+    if logqp:
+        ans, log_ratio = ans
+        assert log_ratio.shape == (T - 1, batch_size)
+    assert ans.shape == (T, batch_size, d)
+
+
+@pytest.mark.parametrize("sde_cls", [problems.NeuralDiagonal, problems.NeuralScalar,
+                                     problems.NeuralAdditive, problems.NeuralGeneral])
+def test_reversibility(sde_cls):
+    """Solve forward with reversible_heun, then solve the negated SDE backwards
+    with the returned extra state; trajectories must match
+    (reference test_sdeint.py:221-252)."""
+    batch_size_ = 8
+    state_size = 4
+    t_size = 10
+    dt_ = 0.1
+
+    brownian_size = {NOISE_TYPES.scalar: 1, NOISE_TYPES.diagonal: state_size,
+                     NOISE_TYPES.general: 2, NOISE_TYPES.additive: 2}[sde_cls.noise_type]
+
+    class MinusSDE(tsde.Module):
+        def __init__(self, sde):
+            self.noise_type = sde.noise_type
+            self.sde_type = sde.sde_type
+            self.sde = sde
+
+        def f(self, t, y):
+            return -self.sde.f(-t, y)
+
+        def g(self, t, y):
+            return -self.sde.g(-t, y)
+
+    kwargs = {"d": state_size}
+    if sde_cls.noise_type in ("additive", "general"):
+        kwargs["m"] = brownian_size
+    sde = sde_cls(sde_type="stratonovich", **kwargs)
+    minus_sde = MinusSDE(sde)
+    y0 = jnp.full((batch_size_, state_size), 0.1, DTYPE)
+    ts = np.linspace(0, (t_size - 1) * dt_, t_size)
+    bm = tsde.BrownianInterval(t0=float(ts[0]), t1=float(ts[-1]),
+                               size=(batch_size_, brownian_size), dtype=DTYPE,
+                               entropy=5, levels=BM_LEVELS)
+    ys, (f, g, z) = tsde.sdeint(sde, y0, ts, bm=bm, method="reversible_heun",
+                                dt=dt_, extra=True)
+    backward_ts = -ts[::-1]
+    backward_ys = tsde.sdeint(minus_sde, ys[-1], backward_ts,
+                              bm=tsde.ReverseBrownian(bm),
+                              method="reversible_heun", dt=dt_,
+                              extra_solver_state=(-f, -g, z))
+    backward_ys = backward_ys[::-1]
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(backward_ys),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_adaptive():
+    """Adaptive stepping runs on device and hits the output shapes; the
+    adaptive-Euler-with-multiplicative-noise warning fires
+    (reference sdeint.py:277-279)."""
+    sde = problems.ExDiagonal(d=d, sde_type="ito")
+    y0 = jnp.ones((batch_size, d), DTYPE)
+    ts = np.linspace(t0, t1, T)
+    with pytest.warns(UserWarning):
+        ans = tsde.sdeint(sde, y0, ts, method="euler", dt=dt, adaptive=True,
+                          entropy=0)
+    assert ans.shape == (T, batch_size, d)
+    assert bool(jnp.all(jnp.isfinite(ans)))
+
+    sde_add = problems.ExAdditive(d=d, m=m, sde_type="ito")
+    ans = tsde.sdeint(sde_add, y0, ts, method="srk", dt=dt, adaptive=True, entropy=0)
+    assert ans.shape == (T, batch_size, d)
+    assert bool(jnp.all(jnp.isfinite(ans)))
