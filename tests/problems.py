@@ -129,6 +129,19 @@ class ExAdditive(BaseSDE):
     def h(self, t, y):
         return jnp.zeros_like(y)
 
+    def analytical_sample(self, y0, ts, bm):
+        """Exact: substituting y = u/sqrt(1+t) reduces the SDE to
+        du = b dt + a b sum_j dW^j, so
+        y(t) = (y0 sqrt(1+t0) + b (t-t0) + a b sum_j W^j(t0,t)) / sqrt(1+t)."""
+        t0 = float(ts[0])
+        outs = [y0]
+        for t in list(ts[1:]):
+            W = bm(t0, float(t))
+            w_sum = jnp.sum(W, axis=-1, keepdims=True)
+            u = y0 * jnp.sqrt(1.0 + t0) + self.b * (float(t) - t0) + self.a * self.b * w_sum
+            outs.append(u / jnp.sqrt(1.0 + float(t)))
+        return jnp.stack(outs, axis=0)
+
 
 class NeuralDiagonal(BaseSDE):
     noise_type = NOISE_TYPES.diagonal

@@ -1,0 +1,71 @@
+"""Fast strong-order convergence checks (CI guard).
+
+The full sweep lives in diagnostics/run_all.py (port of the reference's
+diagnostics/, /root/reference/diagnostics/run_all.py:15-21). Here we check the
+headline orders on the analytically-solvable problems with a small batch:
+slopes must bracket the documented strong orders (euler 0.5, milstein 1.0,
+srk 1.5, additive-euler 1.0, Stratonovich midpoint/heun 1.0).
+"""
+
+import sys
+
+import jax.numpy as jnp
+import pytest
+
+import problems
+sys.path.insert(0, "..")
+from diagnostics.harness import inspect_orders  # noqa: E402
+
+BATCH = 1024
+D = 3
+M = 5
+T0, T1 = 0.0, 2.0
+DTS = tuple(2.0 ** -i for i in range(1, 6))
+DT_TRUE = 2.0 ** -9
+
+
+def _orders(sde, noise_size, methods, options=None):
+    y0 = jnp.full((BATCH, D), 0.1, jnp.float64)
+    return inspect_orders(sde, y0, T0, T1, DTS, methods, options,
+                          noise_size=noise_size, dt_true=DT_TRUE, entropy=7)
+
+
+def test_ito_diagonal_orders():
+    sde = problems.ExDiagonal(d=D, sde_type="ito")
+    r = _orders(sde, D, ("euler", "milstein", "srk"))
+    assert 0.35 <= r["euler"]["strong_order"] <= 0.85
+    assert 0.8 <= r["milstein"]["strong_order"] <= 1.45
+    assert 1.25 <= r["srk"]["strong_order"] <= 1.9
+
+
+def test_ito_additive_orders():
+    sde = problems.ExAdditive(d=D, m=M, sde_type="ito")
+    r = _orders(sde, M, ("euler", "srk"))
+    assert r["euler"]["strong_order"] >= 0.85   # order 1.0 for additive noise
+    assert r["srk"]["strong_order"] >= 1.4
+
+
+def test_ito_scalar_orders():
+    sde = problems.ExScalar(d=D, sde_type="ito")
+    r = _orders(sde, 1, ("euler", "milstein"))
+    assert 0.35 <= r["euler"]["strong_order"] <= 0.9
+    assert r["milstein"]["strong_order"] >= 0.85
+
+
+def test_stratonovich_orders():
+    sde = problems.ExScalar(d=D, sde_type="stratonovich")
+    r = _orders(sde, 1, ("midpoint", "heun", "euler_heun", "reversible_heun"))
+    for label in ("midpoint", "heun", "euler_heun"):
+        assert r[label]["strong_order"] >= 0.8, (label, r[label]["strong_order"])
+    assert r["reversible_heun"]["strong_order"] >= 0.45
+
+
+def test_milstein_grad_free_matches_autodiff_order():
+    sde = problems.ExDiagonal(d=D, sde_type="ito")
+    y0 = jnp.full((BATCH, D), 0.1, jnp.float64)
+    r = inspect_orders(sde, y0, T0, T1, DTS, ("milstein", "milstein"),
+                       options=(None, dict(grad_free=True)),
+                       labels=("milstein", "milstein_grad_free"),
+                       noise_size=D, dt_true=DT_TRUE, entropy=7)
+    assert r["milstein"]["strong_order"] >= 0.8
+    assert r["milstein_grad_free"]["strong_order"] >= 0.8

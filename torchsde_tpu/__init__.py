@@ -11,6 +11,7 @@ Public API mirrors /root/reference/torchsde/__init__.py:15-19.
 from .brownian.base import BaseBrownian
 from .brownian.derived import BrownianPath, BrownianTree, ReverseBrownian
 from .brownian.interval import BrownianInterval, brownian_interval_like
+from .brownian.precomputed import PrecomputedBrownian
 from .core.adjoint import sdeint_adjoint
 from .core.base_sde import BaseSDE, SDEIto, SDEStratonovich
 from .core.sdeint import sdeint
@@ -22,7 +23,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "BaseBrownian", "BaseSDE", "BrownianInterval", "BrownianPath", "BrownianTree",
-    "ReverseBrownian", "SDEIto", "SDEStratonovich", "Module",
+    "PrecomputedBrownian", "ReverseBrownian", "SDEIto", "SDEStratonovich", "Module",
     "brownian_interval_like", "sdeint", "sdeint_adjoint",
     "LEVY_AREA_APPROXIMATIONS", "METHOD_OPTIONS", "METHODS", "NOISE_TYPES",
     "SDE_TYPES", "__version__",
