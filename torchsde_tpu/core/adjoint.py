@@ -1,5 +1,273 @@
-"""Placeholder: stochastic adjoint (built in a later milestone this round)."""
+"""O(1)-memory gradients: the stochastic adjoint as a ``jax.custom_vjp``.
+
+Counterpart of /root/reference/torchsde/_core/adjoint.py. The reference wraps
+the solve in a ``torch.autograd.Function`` whose backward loops over output
+intervals in reverse, re-integrating an augmented adjoint SDE and re-injecting
+output cotangents (adjoint.py:97-119). Here:
+
+* the forward solve steps *to* each output time (per-interval grid) instead of
+  interpolating, so the backward pass re-steps exactly the same (t0, t1)
+  pairs — noise replay is bitwise, either by re-deriving the same per-step
+  i.i.d. increments from the same key (grid mode, default) or by querying the
+  same counter-based BrownianInterval cells through ``ReverseBrownian``
+  (object mode);
+* the backward pass is ONE merged ``lax.scan`` over all backward steps, with
+  cotangent injection and state resets applied at interval boundaries via
+  masked gathers — no per-interval Python loop, no host syncs;
+* "adjoint params" are the array leaves of the SDE pytree itself, so the
+  augmented state is the pytree ``(y, adj_y, adj_sde)`` and parameter
+  gradients come out with the SDE's own structure (the reference flattens to
+  one row, adjoint.py:75-79).
+
+Memory: residuals are the ``(T, batch, d)`` output states only — O(T), not
+O(n_steps) — exactly the reference's memory contract (SURVEY.md §3.2).
+"""
+
+import dataclasses
+import functools
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import base_sde, integrate, sdeint as sdeint_mod, solvers
+from .adjoint_sde import AdjointSDE
+from ..brownian.derived import ReverseBrownian
+from ..settings import METHODS, NOISE_TYPES, SDE_TYPES
+from ..utils import misc
 
 
-def sdeint_adjoint(*args, **kwargs):
-    raise NotImplementedError("sdeint_adjoint is implemented in milestone M4.")
+@dataclasses.dataclass(frozen=True)
+class _Cfg:
+    ts: tuple
+    dt: float
+    method: str
+    adjoint_method: str
+    grid_noise: bool
+    levy: str
+    options: tuple
+    adjoint_options: tuple
+    rtol: float
+    atol: float
+    dt_min: float
+
+
+def _zero_cotangent(tree):
+    def zero(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact):
+            return jnp.zeros_like(x)
+        return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+    return jax.tree_util.tree_map(zero, tree)
+
+
+def _make_solver(cfg, sde, bm, adjoint):
+    method = cfg.adjoint_method if adjoint else cfg.method
+    options = dict(cfg.adjoint_options if adjoint else cfg.options)
+    cls = solvers.select(method=method, sde_type=sde.sde_type)
+    return cls(sde=sde, bm=None, dt=cfg.dt, adaptive=False, rtol=cfg.rtol,
+               atol=cfg.atol, dt_min=cfg.dt_min, options=options)
+
+
+def _fwd_integrate(cfg, sde, bm, y0, extra0):
+    solver = _make_solver(cfg, sde, bm, adjoint=False)
+    grid, bidx = integrate.build_interval_grid(cfg.ts, cfg.dt)
+    if cfg.grid_noise:
+        noise_xs = integrate.sample_grid_noise(
+            bm._key, grid, tuple(bm.shape), bm.dtype,
+            needs_U=solver.needs_U, needs_A=solver.needs_A,
+            levy_area_approximation=cfg.levy)
+        return integrate.integrate_to_outputs(solver, y0, extra0, grid, bidx,
+                                              noise_xs=noise_xs)
+    return integrate.integrate_to_outputs(solver, y0, extra0, grid, bidx, bm=bm)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _adjoint_solve(cfg, sde, bm, y0, extra0):
+    return _fwd_integrate(cfg, sde, bm, y0, extra0)
+
+
+def _adjoint_solve_fwd(cfg, sde, bm, y0, extra0):
+    ys, extra_out = _fwd_integrate(cfg, sde, bm, y0, extra0)
+    return (ys, extra_out), (sde, bm, ys)
+
+
+def _adjoint_solve_bwd(cfg, res, ct):
+    grad_ys, _grad_extra = ct
+    sde, bm, ys = res
+
+    adjoint_sde = AdjointSDE(sde)
+    adj_solver = _make_solver(cfg, adjoint_sde, bm, adjoint=True)
+
+    grid, bidx = integrate.build_interval_grid(cfg.ts, cfg.dt)
+    n_steps = len(grid) - 1
+    T = len(bidx)
+
+    # Backward step order: intervals T-2..0, each interval's steps reversed.
+    order = np.concatenate([
+        np.arange(bidx[i], bidx[i + 1])[::-1] for i in range(T - 2, -1, -1)
+    ]) if n_steps > 0 else np.zeros((0,), np.int64)
+    time_dtype = jnp.result_type(*jax.tree_util.tree_leaves(ys))
+    fwd_t0s = grid[:-1][order]
+    fwd_t1s = grid[1:][order]
+    bt0 = jnp.asarray(-fwd_t1s, time_dtype)
+    bt1 = jnp.asarray(-fwd_t0s, time_dtype)
+
+    # A backward step injects (state reset + cotangent) when it is the first
+    # step of its interval in processing order (forward idx == bidx[i+1]-1).
+    inject = np.zeros(n_steps, bool)
+    out_idx = np.zeros(n_steps, np.int32)
+    for i in range(T - 1):
+        inject[bidx[i + 1] - 1] = True
+        out_idx[bidx[i + 1] - 1] = i + 1
+    inj_xs = jnp.asarray(inject[order])
+    oi_xs = jnp.asarray(out_idx[order])
+
+    needs_U = adj_solver.needs_U
+    needs_A = adj_solver.needs_A
+
+    if cfg.grid_noise:
+        # Re-derive the forward pass's increments from the same key: W comes
+        # from its own split of the key, so it is bitwise identical regardless
+        # of whether U/A are also generated.
+        W, U, A = integrate.sample_grid_noise(
+            bm._key, grid, tuple(bm.shape), bm.dtype,
+            needs_U=needs_U, needs_A=needs_A, levy_area_approximation=cfg.levy)
+        noise_cols = (W[order],) + ((U[order],) if needs_U else ()) \
+            + ((A[order],) if needs_A else ())
+        rev_bm = None
+    else:
+        noise_cols = ()
+        rev_bm = ReverseBrownian(bm)
+
+    y_like = jax.tree_util.tree_map(lambda l: l[0], ys)
+    aug0 = (jnp.zeros_like(y_like), jnp.zeros_like(y_like), _zero_cotangent(sde))
+
+    xs = (bt0, bt1, inj_xs, oi_xs) + noise_cols
+
+    def body(aug, x):
+        t0b, t1b, inj, oi, *noise_list = x
+        y, adj_y, adj_sde = aug
+        y = jnp.where(inj, ys[oi], y)
+        adj_y = jnp.where(inj, adj_y + grad_ys[oi], adj_y)
+        aug = (y, adj_y, adj_sde)
+        if cfg.grid_noise:
+            noise_list = list(noise_list)
+            W_step = noise_list.pop(0)
+            U_step = noise_list.pop(0) if needs_U else None
+            A_step = noise_list.pop(0) if needs_A else None
+            noise = (W_step, U_step, A_step)
+        else:
+            noise = integrate.query_bm(rev_bm, t0b, t1b, needs_U, needs_A)
+        aug1, _ = adj_solver.step(t0b, t1b, aug, (), noise)
+        return aug1, None
+
+    (y_fin, adj_y_fin, adj_sde_fin), _ = jax.lax.scan(body, aug0, xs)
+
+    grad_y0 = adj_y_fin + grad_ys[0]
+    grad_sde = adj_sde_fin
+    grad_bm = _zero_cotangent(bm)
+    grad_extra0 = ()
+    return grad_sde, grad_bm, grad_y0, grad_extra0
+
+
+_adjoint_solve.defvjp(_adjoint_solve_fwd, _adjoint_solve_bwd)
+
+
+def _select_default_adjoint_method(sde, method, adjoint_method):
+    """Default adjoint-method table (reference adjoint.py:281-296)."""
+    if adjoint_method is not None:
+        return adjoint_method
+    if method == METHODS.reversible_heun:
+        return METHODS.adjoint_reversible_heun
+    return {
+        SDE_TYPES.ito: {
+            NOISE_TYPES.diagonal: METHODS.milstein,
+            NOISE_TYPES.additive: METHODS.euler,
+            NOISE_TYPES.scalar: METHODS.euler,
+            NOISE_TYPES.general: METHODS.euler,
+        }[sde.noise_type],
+        SDE_TYPES.stratonovich: METHODS.midpoint,
+    }[sde.sde_type]
+
+
+def sdeint_adjoint(sde,
+                   y0,
+                   ts,
+                   bm=None,
+                   method=None,
+                   adjoint_method=None,
+                   dt=1e-3,
+                   adaptive=False,
+                   adjoint_adaptive=False,
+                   rtol=1e-5,
+                   adjoint_rtol=1e-5,
+                   atol=1e-4,
+                   adjoint_atol=1e-4,
+                   dt_min=1e-5,
+                   options=None,
+                   adjoint_options=None,
+                   adjoint_params=None,
+                   names=None,
+                   logqp=False,
+                   extra=False,
+                   extra_solver_state=None,
+                   key=None,
+                   entropy=None,
+                   **unused_kwargs):
+    """Integrate an SDE with O(1)-memory stochastic-adjoint gradients.
+
+    API parity with reference adjoint.py:130-224, with one JAX-native
+    difference: gradients flow to *all array leaves of the SDE pytree* (and
+    ``y0``), so ``adjoint_params`` is unnecessary — parameters entering the
+    drift via closure in the reference (e.g. a context tensor,
+    latent_sde_lorenz.py:180-187) should instead live as attributes on the SDE
+    module. ``adjoint_params`` is accepted and ignored with a warning.
+    """
+    misc.handle_unused_kwargs(unused_kwargs, msg="`sdeint_adjoint`")
+    del unused_kwargs
+    if adjoint_params is not None:
+        warnings.warn("`adjoint_params` is ignored: gradients flow to every array "
+                      "leaf of the SDE pytree automatically. Attach closure tensors "
+                      "to the SDE module to differentiate w.r.t. them.")
+    if adaptive or adjoint_adaptive:
+        raise NotImplementedError(
+            "Adaptive stepping under sdeint_adjoint is not yet supported; use "
+            "sdeint(adaptive=True) for adaptive forward solves, or fixed-step "
+            "adjoints.")
+
+    sde, y0, ts, bm, method, options = sdeint_mod.check_contract(
+        sde, y0, ts, bm, method, adaptive, options, names, logqp, key, entropy)
+    adjoint_method = _select_default_adjoint_method(sde, method, adjoint_method)
+    adjoint_options = {} if adjoint_options is None else dict(adjoint_options)
+
+    if method == METHODS.reversible_heun or adjoint_method == METHODS.adjoint_reversible_heun:
+        from .adjoint_solvers import sdeint_adjoint_reversible_heun
+        return sdeint_adjoint_reversible_heun(
+            sde, y0, ts, bm, dt, options, adjoint_options, logqp, extra,
+            extra_solver_state)
+
+    grid_noise = isinstance(bm, sdeint_mod._BMWrapper)
+    inner_bm = bm.bm if grid_noise else bm
+
+    def _hash_opts(d):
+        return tuple(sorted(d.items()))
+
+    cfg = _Cfg(ts=tuple(float(t) for t in ts), dt=float(dt), method=method,
+               adjoint_method=adjoint_method, grid_noise=grid_noise,
+               levy=inner_bm.levy_area_approximation,
+               options=_hash_opts(options), adjoint_options=_hash_opts(adjoint_options),
+               rtol=float(rtol), atol=float(atol), dt_min=float(dt_min))
+
+    solver = _make_solver(cfg, sde, inner_bm, adjoint=False)
+    if inner_bm.levy_area_approximation not in solver.levy_area_approximations:
+        raise ValueError(f"SDE solver requires one of "
+                         f"{solver.levy_area_approximations} set as the "
+                         f"`levy_area_approximation` on the Brownian motion.")
+    if extra_solver_state is None:
+        t0_arr = jnp.asarray(ts[0], sdeint_mod._time_dtype(y0))
+        extra_solver_state = solver.init_extra_solver_state(t0_arr, y0)
+
+    ys, extra_solver_state = _adjoint_solve(cfg, sde, inner_bm, y0,
+                                            tuple(extra_solver_state))
+    return sdeint_mod.parse_return(y0, ys, extra_solver_state, extra, logqp)

@@ -160,6 +160,82 @@ def integrate_fixed(solver, y0, extra0, grid, ts, bm=None, noise_xs=None,
     return ys, extra_final
 
 
+def build_interval_grid(ts, dt):
+    """Per-output-interval step grid: each [ts[i], ts[i+1]] is stepped with
+    size ``dt`` (last sub-step shortened), and every output time is itself a
+    grid point. Returns ``(grid, boundary_idx)`` on host (float64 / int64).
+
+    Used by the adjoint: the backward pass re-steps each interval in reverse,
+    hitting exactly the same (t0, t1) pairs, so per-step noise keyed by global
+    step index replays bitwise (SURVEY.md §7.3 "noise replay equality").
+    """
+    ts = np.asarray(ts, np.float64)
+    grid = [ts[0]]
+    boundary_idx = [0]
+    for a, b in zip(ts[:-1], ts[1:]):
+        n = max(1, int(math.ceil((b - a) / dt - 1e-9)))
+        sub = a + dt * np.arange(1, n + 1)
+        sub[-1] = b
+        grid.extend(sub.tolist())
+        boundary_idx.append(len(grid) - 1)
+    return np.asarray(grid, np.float64), np.asarray(boundary_idx, np.int64)
+
+
+def integrate_to_outputs(solver, y0, extra0, grid, boundary_idx, bm=None,
+                         noise_xs=None, time_dtype=None):
+    """Fixed-step solve over ``grid`` where every output time is a grid point;
+    states are scattered into a (T, ...) buffer inside the scan, so memory is
+    O(T), not O(n_steps). Returns (ys, extra_final)."""
+    if time_dtype is None:
+        time_dtype = jnp.result_type(*jax.tree_util.tree_leaves(y0))
+    grid_dev = jnp.asarray(grid, time_dtype)
+    t0s = grid_dev[:-1]
+    t1s = grid_dev[1:]
+    n_steps = len(grid) - 1
+    T = len(boundary_idx)
+
+    # out_slot[j] = output position filled when step j completes, else T (OOB
+    # sentinel: scatter drops it).
+    out_slot = np.full(n_steps, T, np.int32)
+    for pos, b in enumerate(boundary_idx):
+        if b > 0:
+            out_slot[b - 1] = pos
+    out_slot = jnp.asarray(out_slot)
+
+    needs_U = solver.needs_U
+    needs_A = solver.needs_A
+
+    buf0 = jax.tree_util.tree_map(
+        lambda leaf: jnp.zeros((T,) + leaf.shape, leaf.dtype).at[0].set(leaf), y0)
+
+    if noise_xs is not None:
+        W, U, A = noise_xs
+        xs = (t0s, t1s, out_slot, W) + ((U,) if needs_U else ()) + ((A,) if needs_A else ())
+
+        def body(carry, x):
+            y, extra, buf = carry
+            t0, t1, slot, W_step, *rest = x
+            rest = list(rest)
+            U_step = rest.pop(0) if needs_U else None
+            A_step = rest.pop(0) if needs_A else None
+            y1, extra1 = solver.step(t0, t1, y, extra, (W_step, U_step, A_step))
+            buf = jax.tree_util.tree_map(lambda b, v: b.at[slot].set(v), buf, y1)
+            return (y1, extra1, buf), None
+    else:
+        xs = (t0s, t1s, out_slot)
+
+        def body(carry, x):
+            y, extra, buf = carry
+            t0, t1, slot = x
+            noise = query_bm(bm, t0, t1, needs_U, needs_A)
+            y1, extra1 = solver.step(t0, t1, y, extra, noise)
+            buf = jax.tree_util.tree_map(lambda b, v: b.at[slot].set(v), buf, y1)
+            return (y1, extra1, buf), None
+
+    (_, extra_final, buf), _ = jax.lax.scan(body, (y0, extra0, buf0), xs)
+    return buf, extra_final
+
+
 # --------------------------------------------------------------------------- #
 #  Adaptive stepping (reference adaptive_stepping.py, base_solver.py:114-147)  #
 # --------------------------------------------------------------------------- #

@@ -50,10 +50,20 @@ def tree_scale(c, tree):
 
 
 def tree_lc(*pairs):
-    """Linear combination of pytrees: tree_lc((c1, t1), (c2, t2), ...)."""
+    """Linear combination of pytrees: tree_lc((c1, t1), (c2, t2), ...).
+
+    Leaves with dtype float0 (symbolic-zero cotangents of integer leaves) are
+    passed through unchanged.
+    """
     coeffs = [c for c, _ in pairs]
     trees = [t for _, t in pairs]
-    return jax.tree_util.tree_map(lambda *xs: sum(c * x for c, x in zip(coeffs, xs)), *trees)
+
+    def combine(*xs):
+        if getattr(xs[0], "dtype", None) == jax.dtypes.float0:
+            return xs[0]
+        return sum(c * x for c, x in zip(coeffs, xs))
+
+    return jax.tree_util.tree_map(combine, *trees)
 
 
 def tree_zeros_like(tree):

@@ -70,22 +70,31 @@ class Module:
 
 
 def _flatten_module(mod):
-    dyn_names, dyn_vals, static_items = [], [], []
-    for name in sorted(vars(mod)):
-        value = vars(mod)[name]
-        if _contains_dynamic(value):
-            dyn_names.append(name)
-            dyn_vals.append(value)
-        else:
-            static_items.append((name, value))
-    aux = (tuple(dyn_names), _Static(tuple(static_items)))
-    return tuple(dyn_vals), aux
+    """Partition attributes into dynamic (pytree children) and static (aux).
+
+    The partition must be *structure-stable*: JAX transforms routinely
+    unflatten a module with placeholder leaves (tracers, sentinels) and
+    flatten it again, and the roundtrip must reproduce the same treedef. So
+    the dynamic-name set is computed from values only on the first flatten of
+    a user-constructed module, and thereafter carried through unflatten via
+    the hidden ``_dyn_names_`` attribute.
+    """
+    d = vars(mod)
+    dyn_names = d.get("_dyn_names_")
+    if dyn_names is None:
+        dyn_names = tuple(sorted(n for n in d if _contains_dynamic(d[n])))
+    dyn_vals = tuple(d[n] for n in dyn_names)
+    static_items = tuple((n, d[n]) for n in sorted(d)
+                         if n not in dyn_names and n != "_dyn_names_")
+    aux = (dyn_names, _Static(static_items))
+    return dyn_vals, aux
 
 
 def _make_unflatten(cls):
     def unflatten(aux, children):
         dyn_names, static = aux
         mod = object.__new__(cls)
+        object.__setattr__(mod, "_dyn_names_", dyn_names)
         for name, value in zip(dyn_names, children):
             object.__setattr__(mod, name, value)
         for name, value in static.items:
