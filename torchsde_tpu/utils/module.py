@@ -64,8 +64,20 @@ class Module:
         return [leaf for leaf in jax.tree_util.tree_leaves(self)
                 if isinstance(leaf, (jax.Array, np.ndarray))]
 
+    def evolve(self, **changes):
+        """Functional update: returns a copy with the given attributes replaced
+        and the cached dynamic/static partition reset (so newly-added array
+        attributes become pytree leaves)."""
+        mod = object.__new__(type(self))
+        d = dict(vars(self))
+        d.pop("_dyn_names_", None)
+        d.update(changes)
+        for k, v in d.items():
+            object.__setattr__(mod, k, v)
+        return mod
+
     def __repr__(self):
-        names = sorted(vars(self))
+        names = sorted(n for n in vars(self) if n != "_dyn_names_")
         return f"{type(self).__name__}({', '.join(names)})"
 
 
