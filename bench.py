@@ -47,13 +47,21 @@ def bench_ours():
         model = jax.tree_util.tree_map(lambda p, g: p - 1e-4 * g, model, grads)
         return model, loss
 
+    # The axon TPU tunnel executes asynchronously and block_until_ready does
+    # not wait, so: chain N data-dependent steps (the device must run them
+    # serially) and force ONE scalar fetch at the end; subtract the fetch
+    # round-trip measured separately.
     model, loss = train_step(model, xs, key)  # compile + warmup
-    jax.block_until_ready(loss)
+    float(loss)
+    t0 = time.perf_counter()
+    float(jnp.asarray(0.0) + 0.0)
+    rtt = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     for i in range(N_STEPS):
         model, loss = train_step(model, xs, jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
-    elapsed = time.perf_counter() - t0
+    float(loss)
+    elapsed = max(time.perf_counter() - t0 - rtt, 1e-9)
     return N_STEPS / elapsed, jax.devices()[0].platform
 
 

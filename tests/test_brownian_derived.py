@@ -1,0 +1,111 @@
+"""Tests for BrownianPath / BrownianTree / PrecomputedBrownian / ReverseBrownian
+(port of /root/reference/tests/test_brownian_path.py and test_brownian_tree.py,
+plus coverage for the TPU-native PrecomputedBrownian)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.random as npr
+import pytest
+from scipy.stats import kstest
+
+import torchsde_tpu as tsde
+
+_rng = npr.RandomState(42)
+D = 3
+B = 16
+
+
+def test_brownian_path_basic():
+    w0 = jnp.zeros((B, D), jnp.float64)
+    bm = tsde.BrownianPath(t0=0.0, w0=w0, entropy=1)
+    assert bm.shape == (B, D)
+    # point evaluation includes w0 offset
+    w = bm(0.5)
+    assert w.shape == (B, D)
+    # interval evaluation
+    w1, w2, w12 = bm(0.1, 0.4), bm(0.4, 0.9), bm(0.1, 0.9)
+    np.testing.assert_allclose(np.asarray(w1 + w2), np.asarray(w12), atol=1e-12)
+
+
+def test_brownian_path_offset():
+    w0 = jnp.ones((4, 2), jnp.float64) * 5.0
+    bm = tsde.BrownianPath(t0=0.0, w0=w0, entropy=2)
+    w_point = bm(0.3)
+    w_interval = bm(0.0, 0.3)
+    np.testing.assert_allclose(np.asarray(w_point), np.asarray(w_interval + w0),
+                               atol=1e-12)
+
+
+def test_brownian_tree_determinism_and_endpoints():
+    w0 = jnp.zeros((B, D), jnp.float64)
+    w1 = jnp.ones((B, D), jnp.float64) * 0.7
+    bm = tsde.BrownianTree(t0=0.0, w0=w0, t1=1.0, w1=w1, entropy=3)
+    full = bm(0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(w1 - w0), atol=1e-9)
+    a = bm(0.2, 0.6)
+    b = bm(0.2, 0.6)
+    assert bool(jnp.all(a == b))
+
+
+def test_brownian_tree_normality():
+    w0 = jnp.zeros((65536,), jnp.float64)
+    bm = tsde.BrownianTree(t0=0.0, w0=w0, entropy=4)
+    w = bm(0.25, 0.75)
+    _, pval = kstest(np.asarray(w) / np.sqrt(0.5), "norm")
+    assert pval > 1e-5
+
+
+@pytest.mark.parametrize("levy", ["none", "space-time", "foster"])
+def test_precomputed_matches_laws(levy):
+    bm = tsde.PrecomputedBrownian(t0=0.0, t1=1.0, size=(65536,), n=256,
+                                  dtype=jnp.float64, entropy=5,
+                                  levy_area_approximation=levy)
+    w = bm(0.25, 0.75)
+    _, pval = kstest(np.asarray(w) / np.sqrt(0.5), "norm")
+    assert pval > 1e-5
+    if levy != "none":
+        w, u = bm(0.25, 0.75, return_U=True)
+        h = 0.5
+        H = u / h - 0.5 * w
+        _, pval = kstest(np.asarray(H) / np.sqrt(h / 12), "norm")
+        assert pval > 1e-5
+        # chain rule
+        w1, u1 = bm(0.25, 0.5, return_U=True)
+        w2, u2 = bm(0.5, 0.75, return_U=True)
+        np.testing.assert_allclose(np.asarray(u1 + u2 + 0.25 * w1),
+                                   np.asarray(u), atol=1e-9)
+    if levy == "foster":
+        w, u, a = bm(0.25, 0.75, return_U=True, return_A=True)
+        assert a.shape == w.shape  # 1-d size -> zero Levy area
+        assert bool(jnp.all(a == 0))
+
+
+def test_precomputed_in_solver_matches_interval_semantics():
+    """PrecomputedBrownian drives sdeint identically across repeat calls."""
+    class SDE(tsde.SDEIto):
+        def __init__(self):
+            super().__init__(noise_type="diagonal")
+
+        def f(self, t, y):
+            return -y
+
+        def g(self, t, y):
+            return 0.5 * jnp.ones_like(y)
+
+    bm = tsde.PrecomputedBrownian(t0=0.0, t1=1.0, size=(8, 2), n=128,
+                                  dtype=jnp.float64, entropy=6)
+    y0 = jnp.ones((8, 2), jnp.float64)
+    ys1 = tsde.sdeint(SDE(), y0, [0.0, 0.5, 1.0], bm=bm, dt=0.05, method="milstein")
+    ys2 = tsde.sdeint(SDE(), y0, [0.0, 0.5, 1.0], bm=bm, dt=0.05, method="milstein")
+    assert bool(jnp.all(ys1 == ys2))
+
+
+def test_reverse_brownian():
+    bm = tsde.BrownianInterval(t0=0.0, t1=1.0, size=(4, 2), dtype=jnp.float64,
+                               entropy=7, levels=10)
+    rev = tsde.ReverseBrownian(bm)
+    w_fwd = bm(0.2, 0.7)
+    w_rev = rev(-0.7, -0.2)
+    assert bool(jnp.all(w_fwd == w_rev))
+    assert rev.shape == bm.shape
