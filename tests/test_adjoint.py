@@ -176,3 +176,51 @@ def test_default_noise_grid_replay():
     for a, b_ in zip(g1.parameters(), g2.parameters()):
         assert bool(jnp.all(a == b_))
     assert any(float(jnp.abs(x).sum()) > 0 for x in g1.parameters())
+
+
+def test_gradgrad():
+    """Double backward through the adjoint matches double backward through the
+    solver (reference tests gradgrad for Stratonovich, test_adjoint.py:41-88
+    via utils.py gradcheck with grad-of-grad)."""
+    sde = problems.NeuralDiagonal(d=2, sde_type="stratonovich")
+    bm = tsde.BrownianInterval(0.0, 0.4, (4, 2), dtype=DTYPE, entropy=3,
+                               levels=8)
+    y0 = jnp.full((4, 2), 0.1, DTYPE)
+
+    def make_loss(solve):
+        def loss(w):
+            s = sde.evolve(f_net=sde.f_net.evolve(w1=w))
+            ys = solve(s, y0, ts, bm=bm, method="midpoint", dt=dt)
+            return jnp.sum(ys[-1] ** 2)
+        return loss
+
+    def gg(loss):
+        return jax.grad(lambda w: jnp.sum(jax.grad(loss)(w) ** 2))(sde.f_net.w1)
+
+    gg_adj = gg(make_loss(tsde.sdeint_adjoint))
+    gg_bp = gg(make_loss(tsde.sdeint))
+    scale = float(jnp.max(jnp.abs(gg_bp))) + 1e-12
+    assert float(jnp.max(jnp.abs(gg_adj - gg_bp))) / scale < 1e-2
+    assert bool(jnp.all(jnp.isfinite(gg_adj)))
+
+
+def test_adaptive_forward_adjoint():
+    """Adaptive forward solve with adjoint gradients agrees with a fine
+    fixed-step adjoint."""
+    sde = problems.NeuralDiagonal(d=d, sde_type="stratonovich")
+    bm = _bm_for(sde)
+    y0 = _y0()
+
+    def loss_adaptive(s):
+        ys = tsde.sdeint_adjoint(s, y0, ts, bm=bm, method="midpoint", dt=0.05,
+                                 adaptive=True, rtol=1e-6, atol=1e-6)
+        return jnp.sum(ys[-1] ** 2)
+
+    def loss_fixed(s):
+        ys = tsde.sdeint_adjoint(s, y0, ts, bm=bm, method="midpoint", dt=0.005)
+        return jnp.sum(ys[-1] ** 2)
+
+    va, ga = jax.value_and_grad(loss_adaptive)(sde)
+    vf, gf = jax.value_and_grad(loss_fixed)(sde)
+    assert abs(float(va - vf)) < 1e-3 * (abs(float(vf)) + 1)
+    assert _max_rel_err(ga, gf) < 1e-2

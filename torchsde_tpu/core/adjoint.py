@@ -51,6 +51,7 @@ class _Cfg:
     rtol: float
     atol: float
     dt_min: float
+    adaptive: bool = False
 
 
 def _zero_cotangent(tree):
@@ -71,6 +72,17 @@ def _make_solver(cfg, sde, bm, adjoint):
 
 def _fwd_integrate(cfg, sde, bm, y0, extra0):
     solver = _make_solver(cfg, sde, bm, adjoint=False)
+    if cfg.adaptive:
+        # Adaptive forward solve (on-device while_loop); the backward pass
+        # re-integrates each output interval with fixed steps, querying the
+        # same BrownianInterval, so noise stays consistent even though the
+        # backward grid differs from the accepted forward steps (this matches
+        # the reference, whose backward never sees the forward's accepted
+        # steps either, base_solver.py:114-147 + adjoint.py:97-113).
+        import numpy as np_
+        return integrate.integrate_adaptive(
+            solver, y0, extra0, np_.asarray(cfg.ts), bm, cfg.dt, cfg.rtol,
+            cfg.atol, cfg.dt_min)
     grid, bidx = integrate.build_interval_grid(cfg.ts, cfg.dt)
     if cfg.grid_noise:
         noise_xs = integrate.sample_grid_noise(
@@ -230,11 +242,10 @@ def sdeint_adjoint(sde,
         warnings.warn("`adjoint_params` is ignored: gradients flow to every array "
                       "leaf of the SDE pytree automatically. Attach closure tensors "
                       "to the SDE module to differentiate w.r.t. them.")
-    if adaptive or adjoint_adaptive:
+    if adjoint_adaptive:
         raise NotImplementedError(
-            "Adaptive stepping under sdeint_adjoint is not yet supported; use "
-            "sdeint(adaptive=True) for adaptive forward solves, or fixed-step "
-            "adjoints.")
+            "adjoint_adaptive (adaptive stepping of the backward solve) is not "
+            "yet supported; the forward solve may be adaptive.")
 
     sde, y0, ts, bm, method, options = sdeint_mod.check_contract(
         sde, y0, ts, bm, method, adaptive, options, names, logqp, key, entropy)
@@ -242,13 +253,20 @@ def sdeint_adjoint(sde,
     adjoint_options = {} if adjoint_options is None else dict(adjoint_options)
 
     if method == METHODS.reversible_heun or adjoint_method == METHODS.adjoint_reversible_heun:
+        if adaptive:
+            raise ValueError("method='reversible_heun' with adaptive=True is not "
+                             "supported under sdeint_adjoint: the backward "
+                             "reconstruction must re-step the exact forward grid.")
         from .adjoint_solvers import sdeint_adjoint_reversible_heun
         return sdeint_adjoint_reversible_heun(
             sde, y0, ts, bm, dt, options, adjoint_options, logqp, extra,
             extra_solver_state)
 
     grid_noise = isinstance(bm, sdeint_mod._BMWrapper)
-    inner_bm = bm.bm if grid_noise else bm
+    if adaptive and grid_noise:
+        # Adaptive queries arbitrary sub-intervals: use the interval sampler.
+        grid_noise = False
+    inner_bm = bm.bm if grid_noise or isinstance(bm, sdeint_mod._BMWrapper) else bm
 
     def _hash_opts(d):
         return tuple(sorted(d.items()))
@@ -257,7 +275,8 @@ def sdeint_adjoint(sde,
                adjoint_method=adjoint_method, grid_noise=grid_noise,
                levy=inner_bm.levy_area_approximation,
                options=_hash_opts(options), adjoint_options=_hash_opts(adjoint_options),
-               rtol=float(rtol), atol=float(atol), dt_min=float(dt_min))
+               rtol=float(rtol), atol=float(atol), dt_min=float(dt_min),
+               adaptive=bool(adaptive))
 
     solver = _make_solver(cfg, sde, inner_bm, adjoint=False)
     if inner_bm.levy_area_approximation not in solver.levy_area_approximations:
