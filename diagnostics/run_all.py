@@ -27,6 +27,8 @@ def main():
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--dt-true", type=float, default=2 ** -11)
     parser.add_argument("--json", type=str, default=None)
+    parser.add_argument("--only", type=str, default=None,
+                        help="run a single sde_type_noise combination")
     args = parser.parse_args()
 
     import jax
@@ -75,6 +77,8 @@ def main():
 
     all_results = {}
     for name, sde, noise_size, methods, options, labels in configs:
+        if args.only is not None and name != args.only:
+            continue
         y0 = jnp.full((b, d), 0.1, jnp.float64)
         results = inspect_orders(sde, y0, t0, t1, dts, methods, options, labels,
                                  noise_size=noise_size, dt_true=args.dt_true)
