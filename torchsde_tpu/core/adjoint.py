@@ -52,6 +52,7 @@ class _Cfg:
     atol: float
     dt_min: float
     adaptive: bool = False
+    rng_impl: str = "threefry"
 
 
 def _zero_cotangent(tree):
@@ -88,7 +89,7 @@ def _fwd_integrate(cfg, sde, bm, y0, extra0):
         noise_xs = integrate.sample_grid_noise(
             bm._key, grid, tuple(bm.shape), bm.dtype,
             needs_U=solver.needs_U, needs_A=solver.needs_A,
-            levy_area_approximation=cfg.levy)
+            levy_area_approximation=cfg.levy, rng_impl=cfg.rng_impl)
         return integrate.integrate_to_outputs(solver, y0, extra0, grid, bidx,
                                               noise_xs=noise_xs)
     return integrate.integrate_to_outputs(solver, y0, extra0, grid, bidx, bm=bm)
@@ -144,7 +145,8 @@ def _adjoint_solve_bwd(cfg, res, ct):
         # of whether U/A are also generated.
         W, U, A = integrate.sample_grid_noise(
             bm._key, grid, tuple(bm.shape), bm.dtype,
-            needs_U=needs_U, needs_A=needs_A, levy_area_approximation=cfg.levy)
+            needs_U=needs_U, needs_A=needs_A, levy_area_approximation=cfg.levy,
+            rng_impl=cfg.rng_impl)
         noise_cols = (W[order],) + ((U[order],) if needs_U else ()) \
             + ((A[order],) if needs_A else ())
         rev_bm = None
@@ -226,6 +228,7 @@ def sdeint_adjoint(sde,
                    extra_solver_state=None,
                    key=None,
                    entropy=None,
+                   rng_impl="threefry",
                    **unused_kwargs):
     """Integrate an SDE with O(1)-memory stochastic-adjoint gradients.
 
@@ -276,7 +279,7 @@ def sdeint_adjoint(sde,
                levy=inner_bm.levy_area_approximation,
                options=_hash_opts(options), adjoint_options=_hash_opts(adjoint_options),
                rtol=float(rtol), atol=float(atol), dt_min=float(dt_min),
-               adaptive=bool(adaptive))
+               adaptive=bool(adaptive), rng_impl=rng_impl)
 
     solver = _make_solver(cfg, sde, inner_bm, adjoint=False)
     if inner_bm.levy_area_approximation not in solver.levy_area_approximations:

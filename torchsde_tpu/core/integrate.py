@@ -38,24 +38,40 @@ def build_step_grid(t0, t1, dt):
 
 
 def sample_grid_noise(key, grid, size, dtype, needs_U=False, needs_A=False,
-                      levy_area_approximation=LEVY_AREA_APPROXIMATIONS.none):
+                      levy_area_approximation=LEVY_AREA_APPROXIMATIONS.none,
+                      rng_impl="threefry"):
     """I.i.d. per-step Brownian increments for a fixed step grid, in one pass.
 
     Returns ``(W, U, A)`` with shapes ``(N, *size)`` (``U``/``A`` are None when
     not requested). Increments over disjoint steps are independent, so direct
     sampling matches the law of any virtual-tree sampler restricted to this
     grid.
+
+    ``rng_impl='pallas'`` generates the Gaussians with the TPU hardware PRNG
+    (ops/prng.py) — faster bulk generation, different (but still
+    deterministic) stream than threefry.
     """
     n = len(grid) - 1
     dts = jnp.asarray(np.diff(grid), dtype)
     bshape = (n,) + (1,) * len(size)
     dts_b = dts.reshape(bshape)
     key_w, key_h, key_a = jax.random.split(key, 3)
-    W = jax.random.normal(key_w, (n, *size), dtype) * jnp.sqrt(dts_b)
+    if rng_impl == "pallas":
+        from ..ops.prng import pallas_normal
+        seed = jax.random.randint(key_w, (), 0, 2 ** 31 - 1)
+        normal_w = pallas_normal(seed, (n, *size), dtype)
+        normal_h = pallas_normal(seed + 1, (n, *size), dtype)
+    else:
+        normal_w = jax.random.normal(key_w, (n, *size), dtype)
+        normal_h = None
+    W = normal_w * jnp.sqrt(dts_b)
     U = None
     H = None
     if needs_U or needs_A:
-        H = jax.random.normal(key_h, (n, *size), dtype) * jnp.sqrt(dts_b / 12.0)
+        if rng_impl == "pallas":
+            H = normal_h * jnp.sqrt(dts_b / 12.0)
+        else:
+            H = jax.random.normal(key_h, (n, *size), dtype) * jnp.sqrt(dts_b / 12.0)
         U = dts_b * (0.5 * W + H)
     A = None
     if needs_A:

@@ -44,6 +44,7 @@ def sdeint(sde,
            extra_solver_state=None,
            key=None,
            entropy=None,
+           rng_impl="threefry",
            **unused_kwargs):
     """Numerically integrate an SDE. See reference sdeint.py:27-89 for the
     contract; this implementation is jit-compatible end to end.
@@ -69,7 +70,8 @@ def sdeint(sde,
         extra_solver_state = solver.init_extra_solver_state(t0_arr, y0)
 
     ys, extra_solver_state = _integrate(solver, sde, y0, ts, bm, method, dt,
-                                        adaptive, rtol, atol, dt_min, extra_solver_state)
+                                        adaptive, rtol, atol, dt_min,
+                                        extra_solver_state, rng_impl)
     return parse_return(y0, ys, extra_solver_state, extra, logqp)
 
 
@@ -87,7 +89,7 @@ class _BMWrapper:
 
 
 def _integrate(solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol,
-               dt_min, extra_solver_state):
+               dt_min, extra_solver_state, rng_impl="threefry"):
     time_dtype = _time_dtype(y0)
     if adaptive:
         bm_obj = bm.bm if isinstance(bm, _BMWrapper) else bm
@@ -103,7 +105,8 @@ def _integrate(solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol,
         noise_xs = integrate.sample_grid_noise(
             inner._key, grid, tuple(inner.shape), inner.dtype,
             needs_U=solver.needs_U, needs_A=solver.needs_A,
-            levy_area_approximation=inner.levy_area_approximation)
+            levy_area_approximation=inner.levy_area_approximation,
+            rng_impl=rng_impl)
         return integrate.integrate_fixed(
             solver, y0, extra_solver_state, grid, ts, noise_xs=noise_xs,
             time_dtype=time_dtype)
