@@ -2,17 +2,24 @@
 
 Matches the BASELINE.md flagship config (latent_sde_lorenz-style model with
 logqp KL channel, adjoint gradients, batch 1024). The reference publishes no
-numbers (BASELINE.md), so ``vs_baseline`` is measured against the *reference
+numbers (BASELINE.md), so ``vs_baseline`` measures against the *reference
 implementation itself* (google-research/torchsde) running the same model
 shape/batch/solver on this host's CPU with torch — the only hardware both
-implementations can share here. (torchsde has no TPU backend; torch here is
-CPU-only.)
+implementations share here (torchsde has no TPU backend).
+
+Robustness: the tunneled TPU backend executes asynchronously
+(block_until_ready does not wait) and can wedge if a client dies mid-flight,
+so the measurement runs in a subprocess with a timeout, chains data-dependent
+steps, and forces one scalar fetch; if the TPU is unresponsive the benchmark
+falls back to measuring our framework on the host CPU (clearly labeled).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -24,11 +31,15 @@ HIDDEN = 128
 T_SIZE = 32
 T1 = 1.0
 DT = 1.0 / 128
-N_STEPS = 20
+N_STEPS = 16
+TPU_TIMEOUT_S = 560
 
 
-def bench_ours():
+def bench_ours(platform=None):
+    """Measure our framework's training steps/sec. Called in a subprocess."""
     import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
     import jax.numpy as jnp
     from torchsde_tpu.models.latent_sde import LatentSDE, latent_sde_loss
 
@@ -47,22 +58,37 @@ def bench_ours():
         model = jax.tree_util.tree_map(lambda p, g: p - 1e-4 * g, model, grads)
         return model, loss
 
-    # The axon TPU tunnel executes asynchronously and block_until_ready does
-    # not wait, so: chain N data-dependent steps (the device must run them
-    # serially) and force ONE scalar fetch at the end; subtract the fetch
-    # round-trip measured separately.
-    model, loss = train_step(model, xs, key)  # compile + warmup
-    float(loss)
+    model2, loss = train_step(model, xs, key)  # compile + warmup
+    float(loss)  # forces real execution (async backend)
     t0 = time.perf_counter()
-    float(jnp.asarray(0.0) + 0.0)
-    rtt = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
+    m = model
     for i in range(N_STEPS):
-        model, loss = train_step(model, xs, jax.random.fold_in(key, i))
-    float(loss)
-    elapsed = max(time.perf_counter() - t0 - rtt, 1e-9)
+        m, loss = train_step(m, xs, jax.random.fold_in(key, i))
+    float(loss)  # one fetch at the end of the dependent chain
+    elapsed = time.perf_counter() - t0
     return N_STEPS / elapsed, jax.devices()[0].platform
+
+
+def bench_ours_subprocess():
+    """Run bench_ours on the default (TPU) backend in a subprocess so a wedged
+    device tunnel cannot hang the whole benchmark; fall back to host CPU."""
+    for platform, timeout in ((None, TPU_TIMEOUT_S), ("cpu", 900)):
+        cmd = [sys.executable, os.path.abspath(__file__), "--ours-only"]
+        if platform:
+            cmd.append("--cpu")
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=timeout, cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in out.stdout.splitlines():
+                if line.startswith("OURS"):
+                    _, val, plat = line.split()
+                    return float(val), plat
+            print(f"# ours ({platform or 'tpu'}) produced no result: "
+                  f"{out.stdout[-200:]} {out.stderr[-500:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# ours ({platform or 'tpu'}) timed out after {timeout}s",
+                  file=sys.stderr)
+    return None, None
 
 
 def bench_reference_cpu(n_steps=3):
@@ -149,13 +175,19 @@ def bench_reference_cpu(n_steps=3):
 
 
 def main():
-    ours, platform = bench_ours()
+    if "--ours-only" in sys.argv:
+        platform = "cpu" if "--cpu" in sys.argv else None
+        v, plat = bench_ours(platform)
+        print(f"OURS {v} {plat}")
+        return
+
+    ours, platform = bench_ours_subprocess()
     ref = bench_reference_cpu()
-    vs = (ours / ref) if ref else None
+    vs = (ours / ref) if (ours and ref) else None
     print(json.dumps({
         "metric": f"latent-SDE logqp adjoint train steps/sec (batch {BATCH}, "
-                  f"{platform} chip) vs torchsde-reference on host CPU",
-        "value": round(ours, 3),
+                  f"{platform or 'unavailable'} chip) vs torchsde-reference on host CPU",
+        "value": round(ours, 3) if ours else 0.0,
         "unit": "steps/sec",
         "vs_baseline": round(vs, 2) if vs else None,
     }))

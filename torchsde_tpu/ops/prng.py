@@ -7,9 +7,15 @@ PRNG (`pltpu.prng_random_bits`) + Box–Muller, which generates bits at near
 memory speed. Deterministic w.r.t. (seed, shape, tiling): each grid tile
 reseeds with ``seed + program_id``.
 
-Opt-in: pass ``rng_impl='pallas'`` through `sample_grid_noise` /
-`BrownianGridConfig`; the default stays threefry for cross-backend bitwise
-reproducibility (the hardware PRNG stream differs from threefry's).
+Opt-in: pass ``rng_impl='pallas'`` through ``sample_grid_noise`` / ``sdeint``;
+the default stays threefry for cross-backend bitwise reproducibility (the
+hardware PRNG stream differs from threefry's).
+
+Measured on v5e-1 (2048-row tiles, 8.4M f32 samples): raw bits ~2.3 G/s,
+box-muller normals ~1.3 G/s, XLA threefry normals ~2.2 G/s — i.e. threefry is
+already near bandwidth and noise generation is NOT a solver bottleneck
+(a typical solve consumes <1M samples). The kernel is kept for cases that
+want the hardware PRNG stream or fusion into larger Pallas pipelines.
 """
 
 import functools
@@ -34,8 +40,11 @@ def _normal_kernel(seed_ref, out_ref):
     bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     # 24-bit mantissa uniforms in (0, 1): u = (bits >> 8) * 2^-24 + 2^-25.
-    u1 = (bits1 >> 8).astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
-    u2 = (bits2 >> 8).astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
+    # (Mosaic can't cast uint32->f32; the top-24-bit value fits int32 exactly.)
+    i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
+    i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
+    u1 = i1.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
+    u2 = i2.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     out_ref[:] = r * jnp.cos(_TWO_PI * u2)
 
@@ -59,7 +68,7 @@ def pallas_normal(seed, shape, dtype=jnp.float32, interpret=False):
     rows = -(-n // lanes)
     sublanes = 8
     rows_padded = -(-rows // sublanes) * sublanes
-    tile_rows = min(rows_padded, 512)
+    tile_rows = min(rows_padded, 2048)
     while rows_padded % tile_rows:
         tile_rows //= 2
     grid = rows_padded // tile_rows
