@@ -24,10 +24,10 @@ import torchsde_tpu as tsde
 
 D = 3
 SMALL_BATCH_SIZE = 16
-LARGE_BATCH_SIZE = 65536
+LARGE_BATCH_SIZE = 32768
 REPS = 2
-MEDIUM_REPS = 4
-LARGE_REPS = 50
+MEDIUM_REPS = 3
+LARGE_REPS = 30
 ALPHA = 0.00001
 
 _rng = npr.RandomState(1147481649)

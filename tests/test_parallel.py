@@ -1,0 +1,71 @@
+"""Data-parallel execution over a virtual 8-device CPU mesh.
+
+The solver core must be communication-free per shard (SURVEY.md §2.8/§5.8):
+sharding the batch axis must reproduce the single-device result (up to
+reassociation-level float differences; partitionable threefry keeps the
+noise identical per shard), and a full DP training step
+(loss + adjoint gradients + update) must compile and run with the model
+replicated and the batch sharded.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchsde_tpu as tsde
+from torchsde_tpu.parallel import mesh as pmesh
+
+import problems
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+def test_sharded_solve_matches_single_device():
+    sde = problems.NeuralDiagonal(d=3, sde_type="stratonovich")
+    y0 = jnp.full((16, 3), 0.1, jnp.float64)
+    ts = [0.0, 0.2, 0.4]
+    bm = tsde.BrownianInterval(0.0, 0.4, (16, 3), dtype=jnp.float64, entropy=5,
+                               levels=8)
+
+    solve = jax.jit(lambda s, y: tsde.sdeint(s, y, ts, bm=bm, method="midpoint",
+                                             dt=0.05))
+    ys_single = solve(sde, y0)
+
+    m = pmesh.make_mesh()
+    y0_sharded = pmesh.shard_batch(y0, m)
+    sde_repl = pmesh.replicate(sde, m)
+    ys_sharded = solve(sde_repl, y0_sharded)
+    np.testing.assert_allclose(np.asarray(ys_single), np.asarray(ys_sharded),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_dp_train_step():
+    from torchsde_tpu.models.latent_sde import LatentSDE, latent_sde_loss
+
+    key = jax.random.PRNGKey(0)
+    T, B = 4, 16
+    ts = jnp.linspace(0.0, 0.3, T)
+    xs = jax.random.normal(jax.random.fold_in(key, 1), (T, B, 3), jnp.float32)
+    model = LatentSDE(jax.random.fold_in(key, 2), data_size=3, latent_size=2,
+                      context_size=4, hidden_size=8)
+
+    m = pmesh.make_mesh()
+    xs = jax.device_put(xs, pmesh.batch_sharding(m, batch_axis=1))
+    model = pmesh.replicate(model, m)
+
+    @jax.jit
+    def step(model, xs, key):
+        def lf(mm):
+            loss, _ = latent_sde_loss(mm, xs, ts, key, dt=0.1)
+            return loss
+        loss, grads = jax.value_and_grad(lf)(model)
+        model = jax.tree_util.tree_map(lambda p, g: p - 1e-4 * g, model, grads)
+        return model, loss
+
+    model, loss = step(model, xs, jax.random.fold_in(key, 3))
+    assert bool(jnp.isfinite(loss))
+    # Parameters stay replicated (gradient psum happened under the hood).
+    w = model.projector.w
+    assert not w.is_fully_addressable or w.sharding.is_fully_replicated

@@ -23,8 +23,8 @@ d = 3
 m = 2
 t0 = 0.0
 t1 = 0.3
-T = 5
-dt = 0.05
+T = 4
+dt = 0.1
 DTYPE = jnp.float64
 BM_LEVELS = 8  # keep the in-loop dyadic descent cheap in tests
 
@@ -178,13 +178,15 @@ def _run_sdeint_impl(sde, bm, method, should_fail, options, logqp):
     assert ans.shape == (T, batch_size, d)
     assert bool(jnp.all(jnp.isfinite(ans)))
 
-    # Using `h` as drift via names=.
-    ans = tsde.sdeint(sde, y0, ts, bm, method=method, dt=dt, logqp=logqp,
-                      names={"drift": "h"}, options=options, entropy=0)
-    if logqp:
-        ans, log_ratio = ans
-        assert log_ratio.shape == (T - 1, batch_size)
-    assert ans.shape == (T, batch_size, d)
+    # Using `h` as drift via names= (orthogonal to the method; exercising it
+    # once per (sde, bm) config keeps the matrix fast).
+    if method == "euler" or logqp:
+        ans = tsde.sdeint(sde, y0, ts, bm, method=method, dt=dt, logqp=logqp,
+                          names={"drift": "h"}, options=options, entropy=0)
+        if logqp:
+            ans, log_ratio = ans
+            assert log_ratio.shape == (T - 1, batch_size)
+        assert ans.shape == (T, batch_size, d)
 
 
 @pytest.mark.parametrize("sde_cls", [problems.NeuralDiagonal, problems.NeuralScalar,

@@ -61,7 +61,14 @@ def tree_lc(*pairs):
     def combine(*xs):
         if getattr(xs[0], "dtype", None) == jax.dtypes.float0:
             return xs[0]
-        return sum(c * x for c, x in zip(coeffs, xs))
+        out = sum(c * x for c, x in zip(coeffs, xs))
+        # Keep scan carries dtype-stable: the first tree is the accumulator,
+        # so promotion from later terms (e.g. mixed-precision user fns) must
+        # not change the carry dtype.
+        dtype = getattr(xs[0], "dtype", None)
+        if dtype is not None and getattr(out, "dtype", None) != dtype:
+            out = out.astype(dtype)
+        return out
 
     return jax.tree_util.tree_map(combine, *trees)
 
