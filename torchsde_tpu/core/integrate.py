@@ -272,7 +272,11 @@ def _compute_error(y_full, y_half, rtol, atol, eps=1e-7):
         tol = jnp.maximum(rtol * jnp.maximum(jnp.abs(a), jnp.abs(b)) + atol, eps)
         sq_sum = sq_sum + jnp.sum(jnp.square((a - b) / tol))
         count += a.size
-    return jnp.maximum(jnp.sqrt(sq_sum / count), eps)
+    error = jnp.maximum(jnp.sqrt(sq_sum / count), eps)
+    # The reference host-asserts on NaN (adaptive_stepping.py:66-68); on device
+    # we instead treat a NaN estimate as "reject with a huge error" so the
+    # controller shrinks the step rather than looping forever.
+    return jnp.where(jnp.isnan(error), jnp.asarray(1e30, error.dtype), error)
 
 
 def _update_step_size(error, prev_h, prev_ratio, prev_ratio_valid):

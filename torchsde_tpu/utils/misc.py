@@ -83,3 +83,35 @@ def tree_rms(tree, eps=1e-7):
     sq = sum(jnp.sum(jnp.square(x)) for x in leaves)
     n = sum(x.size for x in leaves)
     return jnp.maximum(jnp.sqrt(sq / n), eps)
+
+
+class LinearScheduler:
+    """Linear 0->1 ramp over `iters` steps (reference latent_sde.py:36-47)."""
+
+    def __init__(self, iters, maxval=1.0):
+        self._iters = max(1, iters)
+        self._val = maxval / self._iters
+        self._maxval = maxval
+
+    def step(self):
+        self._val = min(self._maxval, self._val + self._maxval / self._iters)
+
+    @property
+    def val(self):
+        return self._val
+
+
+class EMAMetric:
+    """Exponential moving average of a scalar metric (reference latent_sde.py:50-63)."""
+
+    def __init__(self, gamma=0.99):
+        self._val = 0.0
+        self._gamma = gamma
+
+    def step(self, x):
+        self._val = self._gamma * self._val + (1 - self._gamma) * float(x)
+        return self._val
+
+    @property
+    def val(self):
+        return self._val
