@@ -28,6 +28,10 @@ def main():
     p.add_argument("--kl-anneal-iters", type=int, default=50)
     p.add_argument("--no-adjoint", action="store_true")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--save", type=str, default=None,
+                   help="checkpoint path to save the trained model")
+    p.add_argument("--restore", type=str, default=None,
+                   help="checkpoint path to restore before training")
     args = p.parse_args()
 
     import jax
@@ -46,6 +50,10 @@ def main():
     model = LatentSDE(jax.random.fold_in(key, 1), data_size=3,
                       latent_size=args.latent, context_size=args.context,
                       hidden_size=args.hidden)
+    if args.restore:
+        from torchsde_tpu.utils.checkpoint import load_pytree
+        model = load_pytree(args.restore, model)
+        print("restored from", args.restore)
 
     opt = optax.adam(args.lr)
     opt_state = opt.init(model)
@@ -68,6 +76,10 @@ def main():
             print(f"step {step:4d} loss {float(loss):12.3f} "
                   f"log_pxs {float(aux['log_pxs']):10.3f} "
                   f"kl {float(aux['logqp']):10.3f}")
+
+    if args.save:
+        from torchsde_tpu.utils.checkpoint import save_pytree
+        print("saved to", save_pytree(args.save, model))
 
     samples = sample_posterior(model, xs, ts, jax.random.fold_in(key, 999))
     print("posterior samples:", samples.shape,

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import base_sde, integrate, sdeint as sdeint_mod, solvers
+from . import integrate, sdeint as sdeint_mod, solvers
 from .adjoint_sde import AdjointSDE
 from ..brownian.derived import ReverseBrownian
 from ..settings import METHODS, NOISE_TYPES, SDE_TYPES

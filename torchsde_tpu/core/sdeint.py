@@ -14,7 +14,6 @@ Noise strategy (TPU-first redesign, see SURVEY.md §7.1):
   interval API inside the scan/while loop, still fully on device.
 """
 
-import math
 import warnings
 
 import jax

@@ -14,7 +14,6 @@ dependencies: ``jax.grad`` differentiates straight through module parameters and
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
