@@ -50,7 +50,10 @@ from . import base
 from ..settings import LEVY_AREA_APPROXIMATIONS
 
 _RSQRT3 = 1.0 / math.sqrt(3.0)
-_MAX_LEVELS = 24  # int32 leaf indices stay exactly representable in float32
+# Leaf-edge indices must stay < 2**31 so heap ids fit `jax.random.fold_in`'s
+# 32-bit counter; index arithmetic itself is done in float64 (on host for
+# concrete times, on device when x64 is enabled), so 30 levels are exact.
+_MAX_LEVELS = 30
 _DEFAULT_LEVELS = 20
 
 
@@ -203,10 +206,21 @@ class BrownianInterval(base.BaseBrownian):
     # ------------------------------------------------------------------ #
 
     def _time_to_index(self, t):
-        """Quantise a time to an integer dyadic leaf-edge index in [0, 2**levels]."""
+        """Quantise a time to an integer dyadic leaf-edge index in [0, 2**levels].
+
+        The index arithmetic runs in float64: on the host when ``t`` is
+        concrete (the common case — step grids are built host-side), and on
+        device when x64 is enabled. The reference splits its host tree exactly
+        at arbitrary real query points (brownian_interval.py:321-330); float32
+        index math would misquantise times closer than span * 2**-24.
+        """
         span = self._t1 - self._t0
         n_leaves = 1 << self._levels
-        frac = (jnp.asarray(t, jnp.float32) - self._t0) / span
+        if _is_concrete_scalar(t):
+            k = int(round((float(t) - self._t0) / span * n_leaves))
+            return jnp.asarray(min(max(k, 0), n_leaves), jnp.int32)
+        ftype = jax.dtypes.canonicalize_dtype(jnp.float64)
+        frac = (jnp.asarray(t, ftype) - self._t0) / span
         k = jnp.round(frac * n_leaves).astype(jnp.int32)
         return jnp.clip(k, 0, n_leaves)
 
@@ -341,6 +355,50 @@ class BrownianInterval(base.BaseBrownian):
         if return_A:
             return W, A
         return W
+
+    def query_grid(self, grid, return_U=False, return_A=False):
+        """Bulk query of all ``len(grid) - 1`` consecutive increments in one pass.
+
+        ``grid`` is a host-side 1-D array of strictly increasing times. Returns
+        ``(W, U, A)`` with leading dimension ``len(grid) - 1`` (``U``/``A`` are
+        ``None`` unless requested). Bitwise identical to querying each
+        ``(grid[i], grid[i+1])`` pair through ``__call__``, but the dyadic
+        descents run once per grid *point* (vmapped) instead of twice per grid
+        *pair*, and entirely outside any solver scan — this is the fast path
+        for fixed-step solves with an explicit BrownianInterval (the reference
+        instead amortises repeated queries with a host-side LRU cache,
+        brownian_interval.py:517-522).
+        """
+        grid = np.asarray(grid, np.float64)
+        span = self._t1 - self._t0
+        n_leaves = 1 << self._levels
+        ks = np.clip(np.round((grid - self._t0) / span * n_leaves), 0, n_leaves)
+        ks = jnp.asarray(ks.astype(np.int32))
+
+        w_prefs, i_prefs = jax.vmap(self._prefix)(ks)
+        ka, kb = ks[:-1], ks[1:]
+        dtype = self.dtype
+        leaf = span / n_leaves
+        h = (kb - ka).astype(dtype) * leaf
+        degenerate = kb == ka
+        bshape = (-1,) + (1,) * len(self._size)
+        h_b = h.reshape(bshape)
+        deg_b = degenerate.reshape(bshape)
+
+        W = w_prefs[1:] - w_prefs[:-1]
+        H = None
+        if self._have_H:
+            U = i_prefs[1:] - i_prefs[:-1] - h_b * w_prefs[:-1]
+            h_safe = jnp.where(deg_b, jnp.ones_like(h_b), h_b)
+            H = jnp.where(deg_b, jnp.zeros_like(U), U / h_safe - 0.5 * W)
+        W = jnp.where(deg_b, jnp.zeros_like(W), W)
+
+        A = None
+        if self._have_A and return_A:
+            A = jax.vmap(self._levy_area)(ka, kb, W, H, h, degenerate)
+
+        U_out = h_b * (0.5 * W + H) if (self._have_H and return_U) else None
+        return W, (U_out if return_U else None), (A if return_A else None)
 
     def _levy_area(self, ka, kb, W, H, h, degenerate):
         """Davie/Foster approximation of full Levy area over the queried cell

@@ -97,7 +97,15 @@ class PrecomputedBrownian(base.BaseBrownian):
     # -- query ------------------------------------------------------------ #
 
     def _index(self, t):
-        frac = (jnp.asarray(t, jnp.float32) - self._t0) / (self._t1 - self._t0)
+        """Cell-edge index; float64 arithmetic (host-side when ``t`` is
+        concrete) so fine grids don't misquantise — see
+        BrownianInterval._time_to_index."""
+        if isinstance(t, (int, float, np.ndarray, np.generic)) or (
+                isinstance(t, jax.Array) and not isinstance(t, jax.core.Tracer)):
+            k = int(round((float(t) - self._t0) / (self._t1 - self._t0) * self._n))
+            return jnp.asarray(min(max(k, 0), self._n), jnp.int32)
+        ftype = jax.dtypes.canonicalize_dtype(jnp.float64)
+        frac = (jnp.asarray(t, ftype) - self._t0) / (self._t1 - self._t0)
         return jnp.clip(jnp.round(frac * self._n).astype(jnp.int32), 0, self._n)
 
     def __call__(self, ta, tb=None, return_U=False, return_A=False):
