@@ -109,3 +109,54 @@ def test_reverse_brownian():
     w_rev = rev(-0.7, -0.2)
     assert bool(jnp.all(w_fwd == w_rev))
     assert rev.shape == bm.shape
+
+
+def test_brownian_tree_pinned_endpoint_bridge_law():
+    """With both endpoints pinned (w1=), sub-increments must follow the exact
+    Brownian-bridge conditional law: W(0, m) | W(0, 1) ~ N(W/2, m(1-m)) for
+    m = 1/2. VERDICT r1 weak-item 7; reference analogue derived.py:148-153 +
+    brownian_interval.py:550-561 (which also samples the root H
+    unconditionally when W is user-pinned — correct, because the space-time
+    Levy area H is independent of the increment W)."""
+    n = 65536
+    w0 = jnp.zeros((n,), jnp.float64)
+    w1 = jnp.full((n,), 0.7, jnp.float64)
+    bm = tsde.BrownianTree(t0=0.0, w0=w0, t1=1.0, w1=w1, entropy=7)
+    # exact pinning
+    np.testing.assert_allclose(np.asarray(bm(0.0, 1.0)), 0.7, atol=1e-12)
+    # additivity through the pinned root
+    a, b = bm(0.0, 0.25), bm(0.25, 1.0)
+    np.testing.assert_allclose(np.asarray(a + b), 0.7, atol=1e-9)
+    # conditional bridge law at the midpoint
+    w_half = np.asarray(bm(0.0, 0.5))
+    z = (w_half - 0.35) / np.sqrt(0.25)
+    _, pval = kstest(z, "norm")
+    assert pval > 1e-5, pval
+
+
+def test_brownian_tree_pinned_levy_area_independent():
+    """H of the root is independent of the pinned W: querying U with a pinned
+    endpoint still has the right marginal spread (U = h(W/2 + H),
+    H ~ N(0, h/12) independent of W)."""
+    n = 65536
+    w0 = jnp.zeros((n,), jnp.float64)
+    w1 = jnp.full((n,), -0.3, jnp.float64)
+    bm = tsde.BrownianTree(t0=0.0, w0=w0, t1=1.0, w1=w1, entropy=9,
+                           levy_area_approximation="space-time")
+    _, U = bm(0.0, 1.0, return_U=True)
+    h_part = np.asarray(U) - 0.5 * (-0.3)  # H = U/h - W/2 with h=1
+    _, pval = kstest(h_part / np.sqrt(1.0 / 12.0), "norm")
+    assert pval > 1e-5, pval
+
+
+def test_reverse_brownian_query_grid_matches_calls():
+    base = tsde.BrownianInterval(0.0, 1.0, size=(8, 2), entropy=11,
+                                 dtype=jnp.float64,
+                                 levy_area_approximation="space-time")
+    rev = tsde.ReverseBrownian(base)
+    grid = -np.linspace(0.0, 1.0, 9)[::-1]  # increasing reversed times
+    W, U, _ = rev.query_grid(grid, return_U=True)
+    for i in range(8):
+        w_i, u_i = rev(grid[i], grid[i + 1], return_U=True)
+        assert bool(jnp.array_equal(W[i], w_i)), i
+        assert bool(jnp.array_equal(U[i], u_i)), i

@@ -8,6 +8,7 @@ query-order-independent, so both become thin wrappers that only add the
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 from . import base
 from .interval import BrownianInterval
@@ -26,6 +27,15 @@ class ReverseBrownian(base.BaseBrownian):
 
     def __call__(self, ta, tb=None, return_U=False, return_A=False):
         return self.base_brownian(-tb, -ta, return_U=return_U, return_A=return_A)
+
+    def query_grid(self, grid, return_U=False, return_A=False):
+        """Reversed-grid bulk query: interval ``i`` of a reversed grid maps to
+        forward interval ``N-1-i`` of the negated, order-reversed grid."""
+        fwd = -np.asarray(grid, np.float64)[::-1]
+        W, U, A = self.base_brownian.query_grid(fwd, return_U=return_U,
+                                                return_A=return_A)
+        flip = lambda x: None if x is None else x[::-1]  # noqa: E731
+        return flip(W), flip(U), flip(A)
 
     def __repr__(self):
         return f"{self.__class__.__name__}(base_brownian={self.base_brownian})"
@@ -60,6 +70,10 @@ class BrownianPath(base.BaseBrownian):
         if tb is None and not return_U and not return_A:
             out = out + self._w0
         return out
+
+    def query_grid(self, grid, return_U=False, return_A=False):
+        return self._interval.query_grid(grid, return_U=return_U,
+                                         return_A=return_A)
 
     def __repr__(self):
         return f"{self.__class__.__name__}(interval={self._interval})"
@@ -98,6 +112,10 @@ class BrownianTree(base.BaseBrownian):
         if tb is None and not return_U and not return_A:
             out = out + self._w0
         return out
+
+    def query_grid(self, grid, return_U=False, return_A=False):
+        return self._interval.query_grid(grid, return_U=return_U,
+                                         return_A=return_A)
 
     def __repr__(self):
         return f"{self.__class__.__name__}(interval={self._interval})"

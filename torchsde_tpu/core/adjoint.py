@@ -25,7 +25,6 @@ O(n_steps) — exactly the reference's memory contract (SURVEY.md §3.2).
 
 import dataclasses
 import functools
-import warnings
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +52,9 @@ class _Cfg:
     dt_min: float
     adaptive: bool = False
     rng_impl: str = "threefry"
+    adjoint_adaptive: bool = False
+    adjoint_rtol: float = 1e-5
+    adjoint_atol: float = 1e-4
 
 
 def _zero_cotangent(tree):
@@ -80,19 +82,21 @@ def _fwd_integrate(cfg, sde, bm, y0, extra0):
         # backward grid differs from the accepted forward steps (this matches
         # the reference, whose backward never sees the forward's accepted
         # steps either, base_solver.py:114-147 + adjoint.py:97-113).
-        import numpy as np_
-        return integrate.integrate_adaptive(
-            solver, y0, extra0, np_.asarray(cfg.ts), bm, cfg.dt, cfg.rtol,
+        ys, extra_out, _stats = integrate.integrate_adaptive(
+            solver, y0, extra0, np.asarray(cfg.ts), bm, cfg.dt, cfg.rtol,
             cfg.atol, cfg.dt_min)
+        return ys, extra_out
     grid, bidx = integrate.build_interval_grid(cfg.ts, cfg.dt)
     if cfg.grid_noise:
         noise_xs = integrate.sample_grid_noise(
             bm._key, grid, tuple(bm.shape), bm.dtype,
             needs_U=solver.needs_U, needs_A=solver.needs_A,
             levy_area_approximation=cfg.levy, rng_impl=cfg.rng_impl)
-        return integrate.integrate_to_outputs(solver, y0, extra0, grid, bidx,
-                                              noise_xs=noise_xs)
-    return integrate.integrate_to_outputs(solver, y0, extra0, grid, bidx, bm=bm)
+    else:
+        noise_xs = integrate.precompute_bm_noise(bm, grid, solver.needs_U,
+                                                 solver.needs_A)
+    return integrate.integrate_to_outputs(solver, y0, extra0, grid, bidx,
+                                          noise_xs=noise_xs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -111,6 +115,9 @@ def _adjoint_solve_bwd(cfg, res, ct):
 
     adjoint_sde = AdjointSDE(sde)
     adj_solver = _make_solver(cfg, adjoint_sde, bm, adjoint=True)
+
+    if cfg.adjoint_adaptive:
+        return _adjoint_bwd_adaptive(cfg, sde, bm, ys, grad_ys, adj_solver)
 
     grid, bidx = integrate.build_interval_grid(cfg.ts, cfg.dt)
     n_steps = len(grid) - 1
@@ -147,12 +154,14 @@ def _adjoint_solve_bwd(cfg, res, ct):
             bm._key, grid, tuple(bm.shape), bm.dtype,
             needs_U=needs_U, needs_A=needs_A, levy_area_approximation=cfg.levy,
             rng_impl=cfg.rng_impl)
-        noise_cols = (W[order],) + ((U[order],) if needs_U else ()) \
-            + ((A[order],) if needs_A else ())
-        rev_bm = None
     else:
-        noise_cols = ()
-        rev_bm = ReverseBrownian(bm)
+        # Object mode: the backward grid's (t0, t1) pairs are known host-side,
+        # so batch the interval queries into one pass here too. Increments are
+        # in *forward* orientation — exactly what querying ReverseBrownian
+        # per step returned (rev(−t1, −t0) == bm(t0, t1)).
+        W, U, A = integrate.precompute_bm_noise(bm, grid, needs_U, needs_A)
+    noise_cols = (W[order],) + ((U[order],) if needs_U else ()) \
+        + ((A[order],) if needs_A else ())
 
     y_like = jax.tree_util.tree_map(lambda l: l[0], ys)
     aug0 = (jnp.zeros_like(y_like), jnp.zeros_like(y_like), _zero_cotangent(sde))
@@ -165,14 +174,11 @@ def _adjoint_solve_bwd(cfg, res, ct):
         y = jnp.where(inj, ys[oi], y)
         adj_y = jnp.where(inj, adj_y + grad_ys[oi], adj_y)
         aug = (y, adj_y, adj_sde)
-        if cfg.grid_noise:
-            noise_list = list(noise_list)
-            W_step = noise_list.pop(0)
-            U_step = noise_list.pop(0) if needs_U else None
-            A_step = noise_list.pop(0) if needs_A else None
-            noise = (W_step, U_step, A_step)
-        else:
-            noise = integrate.query_bm(rev_bm, t0b, t1b, needs_U, needs_A)
+        noise_list = list(noise_list)
+        W_step = noise_list.pop(0)
+        U_step = noise_list.pop(0) if needs_U else None
+        A_step = noise_list.pop(0) if needs_A else None
+        noise = (W_step, U_step, A_step)
         aug1, _ = adj_solver.step(t0b, t1b, aug, (), noise)
         return aug1, None
 
@@ -183,6 +189,43 @@ def _adjoint_solve_bwd(cfg, res, ct):
     grad_bm = _zero_cotangent(bm)
     grad_extra0 = ()
     return grad_sde, grad_bm, grad_y0, grad_extra0
+
+
+def _adjoint_bwd_adaptive(cfg, sde, bm, ys, grad_ys, adj_solver):
+    """Adaptive backward solve (``adjoint_adaptive=True``): re-integrate the
+    augmented adjoint state over each output interval in reverse with the
+    on-device adaptive while-loop, at ``adjoint_rtol``/``adjoint_atol``,
+    querying the same counter-based BrownianInterval through ReverseBrownian
+    so noise replay stays exact at whatever sub-intervals the controller
+    visits. Reference: separate adjoint tolerances plumbed to the backward
+    integrate, /root/reference/torchsde/_core/adjoint.py:133-141.
+
+    The per-output-interval loop is a Python loop (T - 1 unrolled segments,
+    like the reference's reverse loop, adjoint.py:97-119); the dynamic
+    stepping inside each segment is a ``lax.while_loop``, so gradients *of*
+    these gradients (double backward) are not supported on this path.
+    """
+    rev_bm = ReverseBrownian(bm)
+    ts = np.asarray(cfg.ts, np.float64)
+    T = len(ts)
+
+    y_like = jax.tree_util.tree_map(lambda l: l[0], ys)
+    adj_y = jnp.zeros_like(y_like)
+    y = jnp.zeros_like(y_like)
+    adj_sde = _zero_cotangent(sde)
+
+    for i in range(T - 1, 0, -1):
+        aug = (ys[i], adj_y + grad_ys[i], adj_sde)
+        rev_ts = np.asarray([-ts[i], -ts[i - 1]])
+        buf, _extra, _stats = integrate.integrate_adaptive(
+            adj_solver, aug, (), rev_ts, rev_bm, cfg.dt,
+            cfg.adjoint_rtol, cfg.adjoint_atol, cfg.dt_min)
+        y, adj_y, adj_sde = jax.tree_util.tree_map(lambda l: l[1], buf)
+
+    grad_y0 = adj_y + grad_ys[0]
+    grad_bm = _zero_cotangent(bm)
+    grad_extra0 = ()
+    return adj_sde, grad_bm, grad_y0, grad_extra0
 
 
 _adjoint_solve.defvjp(_adjoint_solve_fwd, _adjoint_solve_bwd)
@@ -237,18 +280,25 @@ def sdeint_adjoint(sde,
     ``y0``), so ``adjoint_params`` is unnecessary — parameters entering the
     drift via closure in the reference (e.g. a context tensor,
     latent_sde_lorenz.py:180-187) should instead live as attributes on the SDE
-    module. ``adjoint_params`` is accepted and ignored with a warning.
+    module. Passing ``adjoint_params`` raises unless every entry already is a
+    leaf of the SDE pytree (in which case it is a harmless no-op): silently
+    accepting foreign arrays would produce *different* gradient coverage than
+    the reference.
     """
     misc.handle_unused_kwargs(unused_kwargs, msg="`sdeint_adjoint`")
     del unused_kwargs
     if adjoint_params is not None:
-        warnings.warn("`adjoint_params` is ignored: gradients flow to every array "
-                      "leaf of the SDE pytree automatically. Attach closure tensors "
-                      "to the SDE module to differentiate w.r.t. them.")
-    if adjoint_adaptive:
-        raise NotImplementedError(
-            "adjoint_adaptive (adaptive stepping of the backward solve) is not "
-            "yet supported; the forward solve may be adaptive.")
+        sde_leaf_ids = {id(leaf) for leaf in jax.tree_util.tree_leaves(sde)}
+        foreign = [i for i, p in enumerate(adjoint_params)
+                   if id(p) not in sde_leaf_ids]
+        if foreign:
+            raise ValueError(
+                f"`adjoint_params` entries at positions {foreign} are not leaves "
+                f"of the SDE pytree, so the adjoint would not differentiate with "
+                f"respect to them. Attach them as attributes on the SDE module "
+                f"(arrays on a torchsde_tpu Module are pytree leaves and receive "
+                f"gradients automatically); `adjoint_params` itself is redundant "
+                f"in this framework.")
 
     sde, y0, ts, bm, method, options = sdeint_mod.check_contract(
         sde, y0, ts, bm, method, adaptive, options, names, logqp, key, entropy)
@@ -266,10 +316,14 @@ def sdeint_adjoint(sde,
             extra_solver_state)
 
     grid_noise = isinstance(bm, sdeint_mod._BMWrapper)
-    if adaptive and grid_noise:
-        # Adaptive queries arbitrary sub-intervals: use the interval sampler.
+    if (adaptive or adjoint_adaptive) and grid_noise:
+        # Adaptive stepping (forward or backward) queries arbitrary
+        # sub-intervals: both directions must source noise from the same
+        # interval sampler, not the per-grid-step iid stream.
         grid_noise = False
-    inner_bm = bm.bm if grid_noise or isinstance(bm, sdeint_mod._BMWrapper) else bm
+    inner_bm = bm.bm if isinstance(bm, sdeint_mod._BMWrapper) else bm
+    if adaptive or adjoint_adaptive:
+        sdeint_mod.warn_if_coarser_than_dt_min(inner_bm, dt_min)
 
     def _hash_opts(d):
         return tuple(sorted(d.items()))
@@ -279,7 +333,9 @@ def sdeint_adjoint(sde,
                levy=inner_bm.levy_area_approximation,
                options=_hash_opts(options), adjoint_options=_hash_opts(adjoint_options),
                rtol=float(rtol), atol=float(atol), dt_min=float(dt_min),
-               adaptive=bool(adaptive), rng_impl=rng_impl)
+               adaptive=bool(adaptive), rng_impl=rng_impl,
+               adjoint_adaptive=bool(adjoint_adaptive),
+               adjoint_rtol=float(adjoint_rtol), adjoint_atol=float(adjoint_atol))
 
     solver = _make_solver(cfg, sde, inner_bm, adjoint=False)
     if inner_bm.levy_area_approximation not in solver.levy_area_approximations:

@@ -18,6 +18,8 @@ tree descent per step. When a ``BaseBrownian`` is supplied, each scan step
 queries it with traced times (everything stays on device).
 """
 
+import dataclasses
+import functools
 import math
 
 import jax
@@ -108,6 +110,34 @@ def query_bm(bm, t0, t1, needs_U, needs_A):
         W = bm(t0, t1)
         U = A = None
     return W, U, A
+
+
+def precompute_bm_noise(bm, grid, needs_U, needs_A):
+    """Batch all of a fixed grid's noise queries into one pass, outside any scan.
+
+    The grid times are known host-side before the solve, so there is no reason
+    to run the O(levels) dyadic descent inside the sequential scan body (the
+    round-1 design did, costing ~2x20 Gaussian generations per step). Uses the
+    sampler's bulk ``query_grid`` when available (bitwise identical to per-pair
+    queries), else a ``vmap`` over the interval API. Returns ``(W, U, A)``
+    with leading dimension ``len(grid) - 1``.
+    """
+    if hasattr(bm, "query_grid"):
+        return bm.query_grid(grid, return_U=needs_U, return_A=needs_A)
+    t0s = jnp.asarray(np.asarray(grid[:-1], np.float64))
+    t1s = jnp.asarray(np.asarray(grid[1:], np.float64))
+
+    def one(a, b):
+        W, U, A = query_bm(bm, a, b, needs_U, needs_A)
+        out = {"W": W}
+        if needs_U:
+            out["U"] = U
+        if needs_A:
+            out["A"] = A
+        return out
+
+    out = jax.vmap(one)(t0s, t1s)
+    return out["W"], out.get("U"), out.get("A")
 
 
 def linear_interp_on_grid(out_ts, grid, ys_grid):
@@ -291,7 +321,9 @@ def _update_step_size(error, prev_h, prev_ratio, prev_ratio_valid):
     factor = jnp.minimum(_FACMAX, jnp.maximum(facmin, factor))
     new_h = prev_h * factor
     new_prev_ratio = jnp.where(reject, prev_ratio_eff, ratio)
-    return new_h, new_prev_ratio, jnp.logical_or(prev_ratio_valid, ~reject)
+    # The reference's prev_error_ratio is non-None after *any* first call
+    # (adaptive_stepping.py:30-36), so the valid flag is always True on exit.
+    return new_h, new_prev_ratio, jnp.full_like(prev_ratio_valid, True)
 
 
 def integrate_adaptive(solver, y0, extra0, ts, bm, dt0, rtol, atol, dt_min,
@@ -302,6 +334,16 @@ def integrate_adaptive(solver, y0, extra0, ts, bm, dt0, rtol, atol, dt_min,
     interpolation) lives in a single ``lax.while_loop`` carry — zero host
     synchronisation per step, unlike the reference's per-step ``.item()``
     (adaptive_stepping.py:69).
+
+    Returns ``(ys, extra_final, stats)`` where ``stats`` carries on-device
+    scalar counters: ``n_accepted`` / ``n_rejected`` step-attempt counts and
+    ``nfe`` (number of ``solver.step`` evaluations, 3 per attempt — the
+    analogue of the reference's per-problem nfe counters,
+    /root/reference/tests/problems.py:44).
+
+    Not reverse-mode differentiable (``lax.while_loop``); ``jax.grad`` callers
+    go through :func:`adaptive_solve`, whose differentiable path is the
+    bounded :func:`integrate_adaptive_scan`.
     """
     if time_dtype is None:
         time_dtype = jnp.result_type(*jax.tree_util.tree_leaves(y0))
@@ -324,6 +366,8 @@ def integrate_adaptive(solver, y0, extra0, ts, bm, dt0, rtol, atol, dt_min,
         prev_ratio=jnp.asarray(1.0, time_dtype),
         prev_ratio_valid=jnp.asarray(False),
         out_idx=jnp.asarray(1, jnp.int32),
+        n_accepted=jnp.asarray(0, jnp.int32),
+        n_rejected=jnp.asarray(0, jnp.int32),
         buf=buf0,
     )
 
@@ -367,7 +411,9 @@ def integrate_adaptive(solver, y0, extra0, ts, bm, dt0, rtol, atol, dt_min,
             h_new = jnp.maximum(h_new, dt_min)
             prev_ratio_valid = jnp.logical_and(prev_ratio_valid, ~hit_min)
 
-            accept = jnp.logical_or(error <= 1.0, c["h"] <= dt_min)
+            # Reference accept rule (base_solver.py:139-140): accept when the
+            # error passes OR the *updated* step size has hit the floor.
+            accept = jnp.logical_or(error <= 1.0, h_new <= dt_min)
 
             def pick(new, old):
                 return jax.tree_util.tree_map(
@@ -382,9 +428,195 @@ def integrate_adaptive(solver, y0, extra0, ts, bm, dt0, rtol, atol, dt_min,
             c["h"] = h_new
             c["prev_ratio"] = prev_ratio
             c["prev_ratio_valid"] = prev_ratio_valid
+            c["n_accepted"] = c["n_accepted"] + accept.astype(jnp.int32)
+            c["n_rejected"] = c["n_rejected"] + (~accept).astype(jnp.int32)
             return c
 
         return jax.lax.cond(emit, do_emit, do_step, c)
 
     final = jax.lax.while_loop(cond, body, init)
-    return final["buf"], final["extra"]
+    n_attempts = final["n_accepted"] + final["n_rejected"]
+    stats = dict(n_accepted=final["n_accepted"], n_rejected=final["n_rejected"],
+                 nfe=3 * n_attempts,
+                 incomplete=jnp.asarray(False))
+    return final["buf"], final["extra"], stats
+
+
+def integrate_adaptive_scan(solver, y0, extra0, ts, bm, dt0, rtol, atol, dt_min,
+                            max_steps, time_dtype=None):
+    """Reverse-mode-differentiable adaptive solve: a bounded ``lax.scan``.
+
+    Semantically identical to :func:`integrate_adaptive` (same error estimate,
+    PI controller, accept/reject and interpolation arithmetic, in the same
+    order) but runs exactly ``max_steps`` masked iterations of a ``lax.scan``
+    instead of a dynamic ``lax.while_loop``, so ``jax.grad`` works — the
+    reference gets this for free because its hot loop is plain Python under
+    autograd (/root/reference/torchsde/_core/base_solver.py:92-149).
+
+    If the budget is exhausted before the final output time is reached, the
+    unreached output slots hold NaN (loud, not silently wrong) and
+    ``stats['incomplete']`` is True; raise ``max_steps``.
+
+    Memory: O(max_steps) residuals for the backward pass — the same cost
+    profile as the reference's backprop-through-solver. Use ``sdeint_adjoint``
+    for O(1)-memory gradients.
+    """
+    if time_dtype is None:
+        time_dtype = jnp.result_type(*jax.tree_util.tree_leaves(y0))
+    ts_host = np.asarray(ts, np.float64)
+    ts_dev = jnp.asarray(ts_host, time_dtype)
+    t_end = jnp.asarray(ts_host[-1], time_dtype)
+    T = len(ts_host)
+
+    needs_U = solver.needs_U
+    needs_A = solver.needs_A
+
+    def buf_init(leaf):
+        buf = jnp.full((T,) + leaf.shape,
+                       jnp.nan if jnp.issubdtype(leaf.dtype, jnp.inexact) else 0,
+                       leaf.dtype)
+        return buf.at[0].set(leaf)
+
+    init = dict(
+        curr_t=jnp.asarray(ts_host[0], time_dtype),
+        prev_t=jnp.asarray(ts_host[0], time_dtype),
+        curr_y=y0, prev_y=y0, extra=extra0,
+        h=jnp.asarray(float(dt0), time_dtype),
+        prev_ratio=jnp.asarray(1.0, time_dtype),
+        prev_ratio_valid=jnp.asarray(False),
+        out_idx=jnp.asarray(1, jnp.int32),
+        n_accepted=jnp.asarray(0, jnp.int32),
+        n_rejected=jnp.asarray(0, jnp.int32),
+        buf=jax.tree_util.tree_map(buf_init, y0),
+    )
+
+    def tree_where(pred, new, old):
+        return jax.tree_util.tree_map(
+            lambda n, o: jnp.where(pred, n, o), new, old)
+
+    def body(c, _):
+        active = c["out_idx"] < T
+        safe_idx = jnp.minimum(c["out_idx"], T - 1)
+        out_t = ts_dev[safe_idx]
+        emit = jnp.logical_and(active, c["curr_t"] >= out_t)
+        step_mode = jnp.logical_and(active, ~emit)
+
+        # ---- emit branch (cheap; value-level no-op unless `emit`) ----
+        denom = jnp.where(c["curr_t"] > c["prev_t"],
+                          c["curr_t"] - c["prev_t"],
+                          jnp.ones_like(c["curr_t"]))
+        w = (out_t - c["prev_t"]) / denom
+        y_out = jax.tree_util.tree_map(
+            lambda a, b: a + (b - a) * w.astype(a.dtype), c["prev_y"], c["curr_y"])
+        buf = jax.tree_util.tree_map(
+            lambda bufl, yl: bufl.at[safe_idx].set(
+                jnp.where(emit, yl, bufl[safe_idx])),
+            c["buf"], y_out)
+        out_idx = c["out_idx"] + emit.astype(jnp.int32)
+
+        # ---- step branch (expensive; masked via where) ----
+        t = c["curr_t"]
+        # Clamp to t_end only when actually stepping: masked iterations keep
+        # dt = h > 0 so no 1/dt NaNs leak into reverse-mode gradients.
+        next_t = jnp.where(step_mode, jnp.minimum(t + c["h"], t_end), t + c["h"])
+        mid_t = 0.5 * (t + next_t)
+        noise_full = query_bm(bm, t, next_t, needs_U, needs_A)
+        noise_h1 = query_bm(bm, t, mid_t, needs_U, needs_A)
+        noise_h2 = query_bm(bm, mid_t, next_t, needs_U, needs_A)
+
+        y_full, _ = solver.step(t, next_t, c["curr_y"], c["extra"], noise_full)
+        y_mid, extra_mid = solver.step(t, mid_t, c["curr_y"], c["extra"], noise_h1)
+        y_next, extra_next = solver.step(mid_t, next_t, y_mid, extra_mid, noise_h2)
+
+        # Step sizes are data, not differentiable quantities: the reference's
+        # error estimate crosses to the host via `.item()`
+        # (adaptive_stepping.py:69), so torch autograd never differentiates
+        # through the controller. Match that — otherwise d(h)/d(y) pathways
+        # (error**-ifactor powers) blow gradients up at tight tolerances.
+        error = jax.lax.stop_gradient(_compute_error(y_full, y_next, rtol, atol))
+        h_new, prev_ratio, prev_ratio_valid = _update_step_size(
+            error, c["h"], c["prev_ratio"], c["prev_ratio_valid"])
+        hit_min = h_new < dt_min
+        h_new = jnp.maximum(h_new, dt_min)
+        prev_ratio_valid = jnp.logical_and(prev_ratio_valid, ~hit_min)
+
+        accept = jnp.logical_and(
+            step_mode, jnp.logical_or(error <= 1.0, h_new <= dt_min))
+
+        c_new = dict(c)
+        c_new["buf"] = buf
+        c_new["out_idx"] = out_idx
+        c_new["prev_t"] = jnp.where(accept, t, c["prev_t"])
+        c_new["prev_y"] = tree_where(accept, c["curr_y"], c["prev_y"])
+        c_new["curr_t"] = jnp.where(accept, next_t, c["curr_t"])
+        c_new["curr_y"] = tree_where(accept, y_next, c["curr_y"])
+        c_new["extra"] = tree_where(accept, extra_next, c["extra"])
+        c_new["h"] = jnp.where(step_mode, h_new, c["h"])
+        c_new["prev_ratio"] = jnp.where(step_mode, prev_ratio, c["prev_ratio"])
+        c_new["prev_ratio_valid"] = jnp.where(step_mode, prev_ratio_valid,
+                                              c["prev_ratio_valid"])
+        c_new["n_accepted"] = c["n_accepted"] + accept.astype(jnp.int32)
+        c_new["n_rejected"] = (c["n_rejected"]
+                               + jnp.logical_and(step_mode, ~accept).astype(jnp.int32))
+        return c_new, None
+
+    final, _ = jax.lax.scan(body, init, None, length=max_steps)
+    n_attempts = final["n_accepted"] + final["n_rejected"]
+    stats = dict(n_accepted=final["n_accepted"], n_rejected=final["n_rejected"],
+                 nfe=3 * n_attempts,
+                 incomplete=final["out_idx"] < T)
+    return final["buf"], final["extra"], stats
+
+
+# --------------------------------------------------------------------------- #
+#  Differentiable adaptive entry point                                         #
+# --------------------------------------------------------------------------- #
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptiveCfg:
+    """Hashable static config for :func:`adaptive_solve` (a custom_vjp
+    nondiff argument)."""
+    solver_cls: type
+    ts: tuple
+    dt0: float
+    rtol: float
+    atol: float
+    dt_min: float
+    max_steps: int
+    options: tuple  # sorted (key, value) items
+
+    def make_solver(self, sde):
+        return self.solver_cls(sde=sde, bm=None, dt=self.dt0, adaptive=True,
+                               rtol=self.rtol, atol=self.atol,
+                               dt_min=self.dt_min, options=dict(self.options))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def adaptive_solve(cfg, sde, bm, y0, extra0):
+    """Adaptive solve that is fast when not differentiated and correct when it
+    is: the primal runs the ``lax.while_loop`` integrator (dynamic step count,
+    no wasted iterations); under ``jax.grad``/``jax.vjp`` the forward pass is
+    re-traced as the bounded masked ``lax.scan`` (identical arithmetic), whose
+    reverse-mode transpose is plain backprop-through-the-solver — matching the
+    reference's autograd semantics for ``sdeint(adaptive=True)``."""
+    solver = cfg.make_solver(sde)
+    return integrate_adaptive(solver, y0, extra0, np.asarray(cfg.ts), bm,
+                              cfg.dt0, cfg.rtol, cfg.atol, cfg.dt_min)
+
+
+def _adaptive_solve_fwd(cfg, sde, bm, y0, extra0):
+    def run(sde, bm, y0, extra0):
+        solver = cfg.make_solver(sde)
+        return integrate_adaptive_scan(solver, y0, extra0, np.asarray(cfg.ts),
+                                       bm, cfg.dt0, cfg.rtol, cfg.atol,
+                                       cfg.dt_min, cfg.max_steps)
+
+    return jax.vjp(run, sde, bm, y0, extra0)
+
+
+def _adaptive_solve_bwd(cfg, vjp_fn, ct):
+    return vjp_fn(ct)
+
+
+adaptive_solve.defvjp(_adaptive_solve_fwd, _adaptive_solve_bwd)
