@@ -25,9 +25,11 @@ Consequences of the design:
   which is also what ``BrownianTree`` provides. There is no cache, no
   dependency tree and no warm-up heuristics: every query is O(levels) with no
   host synchronisation, so both forward and backward solves are O(N log N).
-* **Exact additivity**: ``W(ta,t) + W(t,tb) == W(ta,tb)`` holds bitwise because
-  increments are differences of prefix values. The analogous chain rule for
-  the space-time Levy area holds to floating-point rounding.
+* **Exact additivity**: ``W(ta,t) + W(t,tb) == W(ta,tb)`` because increments
+  are differences of prefix values — the chain rule holds to prefix-sum
+  floating-point cancellation (absolute error ~eps * |prefix|, i.e. exact for
+  all practical purposes even for leaf-width queries). The analogous chain
+  rule for the space-time Levy area holds to the same rounding.
 * ``tol`` sets the dyadic resolution (leaf width); default resolution is
   ``2**-20`` of the interval span, matching ``BrownianTree``'s default
   ``tol=1e-6`` on a unit interval.

@@ -29,6 +29,20 @@ def make_mesh(devices=None, axis_name="data"):
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(n_model=1, devices=None, axis_names=("data", "model")):
+    """A 2-D ``(data, model)`` mesh: batch DP on the first axis, tensor
+    parallelism on the second. On real hardware pass devices ordered so the
+    model axis maps to the fastest ICI ring (within-slice); across slices
+    (DCN) keep only the data axis — gradient psums tolerate DCN latency,
+    per-matmul TP collectives do not."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % n_model != 0:
+        raise ValueError(f"{n} devices not divisible by n_model={n_model}")
+    return Mesh(np.asarray(devices).reshape(n // n_model, n_model), axis_names)
+
+
 def batch_sharding(mesh, batch_axis=0, axis_name="data"):
     """NamedSharding that splits ``batch_axis`` across the mesh."""
     spec = [None] * batch_axis + [axis_name]
@@ -48,6 +62,48 @@ def shard_batch(tree, mesh, batch_axis=0, axis_name="data"):
 def replicate(tree, mesh):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def _put_if_divisible(x, mesh, spec):
+    """device_put with ``spec``, falling back to replication when a sharded
+    dimension does not divide by its mesh-axis size (tiny output heads etc.)."""
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        if x.ndim <= dim or x.shape[dim] % mesh.shape[axis] != 0:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def shard_mlp_tp(mlp, mesh, axis_name="model"):
+    """Megatron-style tensor parallelism for a ``models.layers.MLP``:
+    alternate column-parallel (shard the output features) and row-parallel
+    (shard the input features) layers, so XLA inserts one psum per
+    column/row pair instead of resharding every activation. Biases follow
+    their layer's output sharding; non-divisible dims fall back to
+    replication."""
+    new_layers = []
+    for i, layer in enumerate(mlp.layers):
+        if i % 2 == 0:  # column parallel: (in, out) -> shard out
+            w = _put_if_divisible(layer.w, mesh, (None, axis_name))
+            b = _put_if_divisible(layer.b, mesh, (axis_name,))
+        else:           # row parallel: shard in; bias replicated
+            w = _put_if_divisible(layer.w, mesh, (axis_name, None))
+            b = jax.device_put(layer.b, NamedSharding(mesh, P()))
+        new_layers.append(layer.evolve(w=w, b=b))
+    return mlp.evolve(layers=new_layers)
+
+
+def shard_latent_sde_tp(model, mesh, axis_name="model"):
+    """Tensor-parallel placement of a ``models.latent_sde.LatentSDE``: the two
+    hidden-size MLPs (posterior drift ``f_net``, prior drift ``h_net``) are
+    Megatron-sharded over ``axis_name``; the remaining small components
+    (encoder, heads, per-dimension noise nets) are replicated. Compose with
+    ``shard_batch`` on the inputs for 2-D (data x model) execution."""
+    repl = NamedSharding(mesh, P())
+    model = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), model)
+    return model.evolve(f_net=shard_mlp_tp(model.f_net, mesh, axis_name),
+                        h_net=shard_mlp_tp(model.h_net, mesh, axis_name))
 
 
 def data_parallel_train_step(loss_fn, optimizer_update):
