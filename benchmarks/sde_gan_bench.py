@@ -1,0 +1,84 @@
+"""SDE-GAN training throughput (the second BASELINE.md north-star workload).
+
+Times one full GAN training step — reversible-Heun generator solve
+(dt=1, adjoint_reversible_heun gradients), neural-CDE discriminator solve,
+Wasserstein objective with negated generator gradients, Adadelta updates,
+weight clipping — at the reference's sde_gan.py scale (batch 1024, t_size 64,
+reference /root/reference/examples/sde_gan.py:440 defaults) and the repo
+example's smoke scale.
+
+Usage: python benchmarks/sde_gan_bench.py [--cpu]. Recorded in BENCH_NOTES.md.
+"""
+
+import argparse
+import json
+import time
+
+
+def measure(batch, t_size, hidden, mlp_size, num_layers, n_steps=8,
+            platform=None):
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from torchsde_tpu.models import sde_gan as G
+
+    key = jax.random.PRNGKey(0)
+    ts_dev, data = G.get_ou_data(jax.random.fold_in(key, 0),
+                                 max(batch, 1024), t_size)
+    ts = np.asarray(ts_dev)
+
+    gen = G.Generator(jax.random.fold_in(key, 1), data_size=1,
+                      initial_noise_size=5, noise_size=3, hidden_size=hidden,
+                      mlp_size=mlp_size, num_layers=num_layers)
+    disc = G.Discriminator(jax.random.fold_in(key, 2), data_size=1,
+                           hidden_size=hidden + 1, mlp_size=mlp_size,
+                           num_layers=num_layers)
+    opt_g = optax.adadelta(2e-4)
+    opt_d = optax.adadelta(1e-3)
+    sg, sd = opt_g.init(gen), opt_d.init(disc)
+
+    @jax.jit
+    def train_step(gen, disc, sg, sd, key, batch_data):
+        loss, g_gen, g_disc = G.gan_grads(gen, disc, key, ts, batch_data)
+        ug, sg = opt_g.update(g_gen, sg, gen)
+        gen = optax.apply_updates(gen, ug)
+        ud, sd = opt_d.update(g_disc, sd, disc)
+        disc = optax.apply_updates(disc, ud)
+        return gen, disc, sg, sd, loss
+
+    batch_data = data[:batch]
+    gen, disc, sg, sd, loss = train_step(gen, disc, sg, sd, key, batch_data)
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        gen, disc, sg, sd, loss = train_step(gen, disc, sg, sd,
+                                             jax.random.fold_in(key, i),
+                                             batch_data)
+    float(loss)
+    sps = n_steps / (time.perf_counter() - t0)
+    return dict(batch=batch, t_size=t_size, hidden=hidden,
+                steps_per_sec=round(sps, 2),
+                samples_per_sec=round(sps * batch, 1),
+                device=jax.devices()[0].platform)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    platform = "cpu" if args.cpu else None
+    # reference-scale config (sde_gan.py:440: batch 1024, t_size 64,
+    # hidden 16, mlp 16, 1 layer) and the repo example's smoke scale
+    for cfg in (dict(batch=1024, t_size=64, hidden=16, mlp_size=16,
+                     num_layers=1),
+                dict(batch=256, t_size=32, hidden=16, mlp_size=16,
+                     num_layers=1)):
+        print(json.dumps(measure(platform=platform, **cfg)))
+
+
+if __name__ == "__main__":
+    main()

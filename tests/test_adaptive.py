@@ -365,3 +365,22 @@ def test_adjoint_params_foreign_raises():
     # leaves of the SDE pytree are fine (harmless no-op)
     tsde.sdeint_adjoint(sde, y0, ts, bm=bm, dt=0.05, method="milstein",
                         adjoint_params=(sde.a, sde.b))
+
+
+def test_adaptive_gradgrad():
+    # Double backward through the bounded-scan adaptive forward (the
+    # reference gets this from nested autograd; here it is scan-of-scan).
+    sde = _DiagSDE()
+    y0 = jnp.ones((4, 2))
+    ts = jnp.linspace(0.0, 0.3, 3)
+    bm = tsde.BrownianInterval(0.0, 0.3, (4, 2), entropy=5,
+                               dtype=jnp.float64, levels=12)
+
+    def loss(s):
+        ys = tsde.sdeint(s, y0, ts, bm=bm, method="milstein", dt=0.05,
+                         adaptive=True, rtol=1e-3, atol=1e-4, max_steps=64)
+        return jnp.mean(ys ** 2)
+
+    gg = jax.grad(lambda s: jnp.sum(jax.grad(loss)(s).a ** 2))(sde)
+    assert np.isfinite(np.asarray(gg.a)).all()
+    assert float(jnp.abs(gg.a).sum()) > 0
