@@ -156,6 +156,7 @@ def _controller_steps(span, dt0, errors_all_tiny=True):
     return n
 
 
+@pytest.mark.slow
 def test_facmax_growth_step_count():
     # Deterministic, trivially-integrable dynamics with a loose tolerance:
     # every attempt is accepted and h grows by exactly 1.4x per accept, so the
@@ -173,6 +174,7 @@ def test_facmax_growth_step_count():
     assert not bool(stats["incomplete"])
 
 
+@pytest.mark.slow
 def test_rejects_then_completes():
     # Stiff-ish start with a large initial dt forces rejects; the solve must
     # still complete with finite outputs and nonzero reject count.
@@ -190,6 +192,7 @@ def test_rejects_then_completes():
     assert abs(float(ys[-1, 0, 0]) - expected) < 1e-3
 
 
+@pytest.mark.slow
 def test_dt_min_degradation():
     # Impossible tolerance: the controller hits the dt_min floor and accepts
     # at the floor (reference base_solver.py:134-140) instead of looping
@@ -235,6 +238,7 @@ def _diag_problem():
     return sde, y0, ts, bm
 
 
+@pytest.mark.slow
 def test_adaptive_grad_matches_fine_fixed():
     # VERDICT r1 item 2 done-criterion: jax.grad through a plain
     # sdeint(adaptive=True) matches a fine fixed-step gradient to 1e-2.
@@ -257,6 +261,7 @@ def test_adaptive_grad_matches_fine_fixed():
         assert np.abs(ga - gf).max() / np.abs(gf).max() < 1e-2, (name, ga, gf)
 
 
+@pytest.mark.slow
 def test_adaptive_value_while_vs_scan_consistency():
     # The differentiable (bounded-scan) forward must agree with the
     # while-loop primal: identical controller arithmetic.
@@ -272,6 +277,7 @@ def test_adaptive_value_while_vs_scan_consistency():
     assert abs(v_while - v_scan) < 1e-12
 
 
+@pytest.mark.slow
 def test_adaptive_grad_default_bm():
     # Gradients also work when the framework owns the noise (bm=None).
     sde, y0, ts, _ = _diag_problem()
@@ -286,6 +292,7 @@ def test_adaptive_grad_default_bm():
     assert float(jnp.abs(g.a).sum()) > 0
 
 
+@pytest.mark.slow
 def test_adaptive_grad_budget_exhaustion_is_loud():
     # An insufficient max_steps budget must yield NaNs (not silently-wrong
     # values) in the differentiated forward pass.
@@ -300,6 +307,7 @@ def test_adaptive_grad_budget_exhaustion_is_loud():
     assert not bool(jnp.isfinite(val))
 
 
+@pytest.mark.slow
 def test_adjoint_adaptive_grads():
     # VERDICT r1 item 3: adjoint_adaptive re-integrates the augmented state
     # adaptively per output interval at adjoint_rtol/adjoint_atol. Gradients
@@ -326,6 +334,7 @@ def test_adjoint_adaptive_grads():
         assert np.abs(ga - gf).max() / np.abs(gf).max() < 5e-2, (name, ga, gf)
 
 
+@pytest.mark.slow
 def test_adjoint_adaptive_beats_coarse_fixed_backward():
     # On the same coarse dt, the adaptive backward must be at least as close
     # to the fine-dt gradient as the coarse fixed backward (the case the
@@ -367,6 +376,7 @@ def test_adjoint_params_foreign_raises():
                         adjoint_params=(sde.a, sde.b))
 
 
+@pytest.mark.slow
 def test_adaptive_gradgrad():
     # Double backward through the bounded-scan adaptive forward (the
     # reference gets this from nested autograd; here it is scan-of-scan).

@@ -48,6 +48,7 @@ def test_brownian_tree_determinism_and_endpoints():
     assert bool(jnp.all(a == b))
 
 
+@pytest.mark.slow
 def test_brownian_tree_normality():
     w0 = jnp.zeros((65536,), jnp.float64)
     bm = tsde.BrownianTree(t0=0.0, w0=w0, entropy=4)
@@ -57,6 +58,7 @@ def test_brownian_tree_normality():
 
 
 @pytest.mark.parametrize("levy", ["none", "space-time", "foster"])
+@pytest.mark.slow
 def test_precomputed_matches_laws(levy):
     bm = tsde.PrecomputedBrownian(t0=0.0, t1=1.0, size=(65536,), n=256,
                                   dtype=jnp.float64, entropy=5,
@@ -111,6 +113,7 @@ def test_reverse_brownian():
     assert rev.shape == bm.shape
 
 
+@pytest.mark.slow
 def test_brownian_tree_pinned_endpoint_bridge_law():
     """With both endpoints pinned (w1=), sub-increments must follow the exact
     Brownian-bridge conditional law: W(0, m) | W(0, 1) ~ N(W/2, m(1-m)) for
@@ -134,6 +137,7 @@ def test_brownian_tree_pinned_endpoint_bridge_law():
     assert pval > 1e-5, pval
 
 
+@pytest.mark.slow
 def test_brownian_tree_pinned_levy_area_independent():
     """H of the root is independent of the pinned W: querying U with a pinned
     endpoint still has the right marginal spread (U = h(W/2 + H),

@@ -113,6 +113,7 @@ def test_determinism_large(levy_area_approximation, return_U, return_A):
 
 @pytest.mark.parametrize("levy_area_approximation",
                          ["none", "space-time", "davie", "foster"])
+@pytest.mark.slow
 def test_normality_simple(levy_area_approximation):
     t0, t1 = 0.0, 1.0
     for _ in range(REPS):
@@ -137,6 +138,7 @@ def test_normality_simple(levy_area_approximation):
 
 
 @pytest.mark.parametrize("levy_area_approximation", ["none", "space-time"])
+@pytest.mark.slow
 def test_normality_conditional(levy_area_approximation):
     """Conditional bridge laws for W and H at interior points
     (reference test_brownian_interval.py:199-258)."""
@@ -292,6 +294,7 @@ def test_brownian_interval_like():
     assert bm.dtype == jnp.float64
 
 
+@pytest.mark.slow
 def test_fine_scale_queries_levels_30():
     """VERDICT r1 item 6 done-criterion: intervals of width 1e-9 on a unit
     span return correctly-scaled nonzero increments (float64 index math,
