@@ -55,6 +55,7 @@ class _Cfg:
     adjoint_adaptive: bool = False
     adjoint_rtol: float = 1e-5
     adjoint_atol: float = 1e-4
+    unroll: int = 1
 
 
 def _zero_cotangent(tree):
@@ -96,7 +97,7 @@ def _fwd_integrate(cfg, sde, bm, y0, extra0):
         noise_xs = integrate.precompute_bm_noise(bm, grid, solver.needs_U,
                                                  solver.needs_A)
     return integrate.integrate_to_outputs(solver, y0, extra0, grid, bidx,
-                                          noise_xs=noise_xs)
+                                          noise_xs=noise_xs, unroll=cfg.unroll)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -182,7 +183,8 @@ def _adjoint_solve_bwd(cfg, res, ct):
         aug1, _ = adj_solver.step(t0b, t1b, aug, (), noise)
         return aug1, None
 
-    (y_fin, adj_y_fin, adj_sde_fin), _ = jax.lax.scan(body, aug0, xs)
+    (y_fin, adj_y_fin, adj_sde_fin), _ = jax.lax.scan(body, aug0, xs,
+                                                      unroll=cfg.unroll)
 
     grad_y0 = adj_y_fin + grad_ys[0]
     grad_sde = adj_sde_fin
@@ -272,6 +274,7 @@ def sdeint_adjoint(sde,
                    key=None,
                    entropy=None,
                    rng_impl="threefry",
+                   unroll=1,
                    **unused_kwargs):
     """Integrate an SDE with O(1)-memory stochastic-adjoint gradients.
 
@@ -335,7 +338,8 @@ def sdeint_adjoint(sde,
                rtol=float(rtol), atol=float(atol), dt_min=float(dt_min),
                adaptive=bool(adaptive), rng_impl=rng_impl,
                adjoint_adaptive=bool(adjoint_adaptive),
-               adjoint_rtol=float(adjoint_rtol), adjoint_atol=float(adjoint_atol))
+               adjoint_rtol=float(adjoint_rtol), adjoint_atol=float(adjoint_atol),
+               unroll=int(unroll))
 
     solver = _make_solver(cfg, sde, inner_bm, adjoint=False)
     if inner_bm.levy_area_approximation not in solver.levy_area_approximations:

@@ -157,7 +157,7 @@ def linear_interp_on_grid(out_ts, grid, ys_grid):
 
 
 def integrate_fixed(solver, y0, extra0, grid, ts, bm=None, noise_xs=None,
-                    time_dtype=None):
+                    time_dtype=None, unroll=1):
     """Fixed-step solve over ``grid``, interpolated onto ``ts``.
 
     Exactly one of ``bm`` (queried per step inside the scan) or ``noise_xs``
@@ -198,7 +198,8 @@ def integrate_fixed(solver, y0, extra0, grid, ts, bm=None, noise_xs=None,
             y1, extra1 = solver.step(t0, t1, y, extra, noise)
             return (y1, extra1), y1
 
-    (_, extra_final), ys_steps = jax.lax.scan(body, (y0, extra0), xs)
+    (_, extra_final), ys_steps = jax.lax.scan(body, (y0, extra0), xs,
+                                              unroll=unroll)
     ys_grid = jax.tree_util.tree_map(
         lambda first, rest: jnp.concatenate([first[None], rest], axis=0), y0, ys_steps)
     ts_dev = jnp.asarray(np.asarray(ts, np.float64), time_dtype)
@@ -228,7 +229,7 @@ def build_interval_grid(ts, dt):
 
 
 def integrate_to_outputs(solver, y0, extra0, grid, boundary_idx, bm=None,
-                         noise_xs=None, time_dtype=None):
+                         noise_xs=None, time_dtype=None, unroll=1):
     """Fixed-step solve over ``grid`` where every output time is a grid point;
     states are scattered into a (T, ...) buffer inside the scan, so memory is
     O(T), not O(n_steps). Returns (ys, extra_final)."""
@@ -278,7 +279,8 @@ def integrate_to_outputs(solver, y0, extra0, grid, boundary_idx, bm=None,
             buf = jax.tree_util.tree_map(lambda b, v: b.at[slot].set(v), buf, y1)
             return (y1, extra1, buf), None
 
-    (_, extra_final, buf), _ = jax.lax.scan(body, (y0, extra0, buf0), xs)
+    (_, extra_final, buf), _ = jax.lax.scan(body, (y0, extra0, buf0), xs,
+                                            unroll=unroll)
     return buf, extra_final
 
 

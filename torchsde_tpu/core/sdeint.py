@@ -47,6 +47,7 @@ def sdeint(sde,
            rng_impl="threefry",
            max_steps=None,
            return_stats=False,
+           unroll=1,
            **unused_kwargs):
     """Numerically integrate an SDE. See reference sdeint.py:27-89 for the
     contract; this implementation is jit-compatible end to end.
@@ -65,6 +66,11 @@ def sdeint(sde,
       (``n_accepted``/``n_rejected``/``nfe``/``incomplete``) as the last
       output — the analogue of the reference's nfe problem counters
       (/root/reference/tests/problems.py:44).
+    * ``unroll``: ``lax.scan`` unroll factor for fixed-step solves. Only
+      helps when the step body is tiny (scan-iteration overhead ~30us/iter
+      dominates: unroll=8 measured 1.3x on a trivial-body 128-step scan);
+      neural drift/diffusion steps are compute-bound and see no gain
+      (BENCH_NOTES.md). Ignored by adaptive solves.
     """
     misc.handle_unused_kwargs(unused_kwargs, msg="`sdeint`")
     del unused_kwargs
@@ -84,7 +90,7 @@ def sdeint(sde,
 
     ys, extra_solver_state, stats = _integrate(
         solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol, dt_min,
-        extra_solver_state, rng_impl, max_steps)
+        extra_solver_state, rng_impl, max_steps, unroll)
     return parse_return(y0, ys, extra_solver_state, extra, logqp,
                         stats=stats, return_stats=return_stats)
 
@@ -130,7 +136,8 @@ def warn_if_coarser_than_dt_min(bm_obj, dt_min):
 
 
 def _integrate(solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol,
-               dt_min, extra_solver_state, rng_impl="threefry", max_steps=None):
+               dt_min, extra_solver_state, rng_impl="threefry", max_steps=None,
+               unroll=1):
     time_dtype = _time_dtype(y0)
     if adaptive:
         bm_obj = bm.bm if isinstance(bm, _BMWrapper) else bm
@@ -163,7 +170,7 @@ def _integrate(solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol,
     stats = dict(n_accepted=n_steps, n_rejected=0, nfe=n_steps, incomplete=False)
     ys, extra_out = integrate.integrate_fixed(
         solver, y0, extra_solver_state, grid, ts, noise_xs=noise_xs,
-        time_dtype=time_dtype)
+        time_dtype=time_dtype, unroll=unroll)
     return ys, extra_out, stats
 
 

@@ -62,7 +62,11 @@ class GRUCell(Module):
         self.hidden_size = hidden_size
 
     def __call__(self, x, h):
-        gi = x @ self.w_ih + self.b_ih
+        return self.step_from_gi(x @ self.w_ih + self.b_ih, h)
+
+    def step_from_gi(self, gi, h):
+        """Advance from a precomputed input projection ``gi = x @ w_ih + b_ih``
+        — lets the sequence layer hoist the input matmul out of the scan."""
         gh = h @ self.w_hh + self.b_hh
         i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
         h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
@@ -83,9 +87,14 @@ class GRU(Module):
         if h0 is None:
             h0 = jnp.zeros((B, self.cell.hidden_size), xs.dtype)
 
-        def step(h, x):
-            h1 = self.cell(x, h)
+        # Input projections for ALL timesteps in one (T*B, in) @ (in, 3H)
+        # matmul: half the per-step matmuls leave the sequential scan and the
+        # MXU sees one large op instead of T small ones (the cuDNN RNN trick).
+        gi_all = xs @ self.cell.w_ih + self.cell.b_ih
+
+        def step(h, gi):
+            h1 = self.cell.step_from_gi(gi, h)
             return h1, h1
 
-        h_last, hs = jax.lax.scan(step, h0, xs)
+        h_last, hs = jax.lax.scan(step, h0, gi_all)
         return hs, h_last
