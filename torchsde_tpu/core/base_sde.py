@@ -221,7 +221,16 @@ class SDELogqp(BaseSDE):
         return name in ("f", "g", "f_and_g")
 
     def _f_g_h(self, t, y):
-        return self._base_sde.f(t, y), self._base_sde.g(t, y), self._base_sde.h(t, y)
+        # TPU-native extension beyond the reference: an SDE may provide a
+        # fused `f_and_h(t, y) -> (f, h)` evaluating both drift towers in one
+        # batched program (e.g. stacked-weight einsums). On latency-bound
+        # solves every step saves half its drift kernel launches.
+        f_and_h = getattr(self._base_sde, "f_and_h", None)
+        if callable(f_and_h):
+            f, h = f_and_h(t, y)
+        else:
+            f, h = self._base_sde.f(t, y), self._base_sde.h(t, y)
+        return f, self._base_sde.g(t, y), h
 
     def f_and_g(self, t, y):
         y = y[:, :-1]

@@ -12,6 +12,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.sdeint import sdeint
 from ..utils.module import Module
@@ -72,7 +73,11 @@ class ScoreMatchingSDE(Module):
                                 y.shape)
 
     def sample_t1_marginal(self, key, batch_size, tau=1.0):
-        return jax.random.normal(key, (batch_size, *self.input_size)) * math.sqrt(tau)
+        # Match the denoiser's parameter dtype (under jax_enable_x64 the
+        # default normal would be float64 and conv inputs must agree).
+        dtype = jax.tree_util.tree_leaves(self.denoiser)[0].dtype
+        return (jax.random.normal(key, (batch_size, *self.input_size), dtype)
+                * math.sqrt(tau))
 
     def loss(self, key, x_t0, partitions=1):
         """Stratified score-matching objective (reference cont_ddpm.py:137-155):
@@ -136,7 +141,9 @@ class ReverseDiffeqWrapper(Module):
         """Reverse-time SDE sampling on flattened images."""
         k1, k2 = jax.random.split(key)
         y = self.module.sample_t1_marginal(k1, batch_size, tau)
-        ts = jnp.linspace(-self.t1, -self.t0, t_size)
+        # numpy, not jnp: `ts` must stay concrete at trace time so sampling
+        # can live inside an outer jit (jnp.linspace returns a tracer there).
+        ts = np.linspace(-self.t1, -self.t0, t_size)
         ys = sdeint(self, y.reshape(batch_size, -1), ts, dt=dt, method="midpoint",
                     key=k2)
         ys = ys.reshape(t_size, batch_size, *self.module.input_size)

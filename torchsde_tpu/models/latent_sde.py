@@ -85,6 +85,28 @@ class LatentSDE(Module):
     def h(self, t, y):
         return self.h_net(y)
 
+    def f_and_h(self, t, y):
+        """Fused posterior+prior drift: both 3-layer towers as ONE stacked
+        batched-einsum MLP (SDELogqp consumes this when present). The h tower
+        sees only ``y`` — its first-layer weights are zero-padded over the
+        context rows — so values match f()/h() exactly up to matmul regrouping.
+        Halves the drift kernel launches per solver step, which is what the
+        latency-bound logqp solve pays for (BENCH_NOTES §1)."""
+        ctx = self._ctx_at(t)
+        x = jnp.concatenate([y, ctx], axis=1)           # (B, L+C)
+        fl, hl = self.f_net.layers, self.h_net.layers
+        pad = jnp.zeros((ctx.shape[1], hl[0].w.shape[1]), hl[0].w.dtype)
+        w1 = jnp.stack([fl[0].w, jnp.concatenate([hl[0].w, pad], axis=0)])
+        z = jax.nn.softplus(jnp.einsum("bi,kih->kbh", x, w1)
+                            + jnp.stack([fl[0].b, hl[0].b])[:, None, :])
+        for i in (1, 2):
+            w = jnp.stack([fl[i].w, hl[i].w])
+            b = jnp.stack([fl[i].b, hl[i].b])[:, None, :]
+            z = jnp.einsum("kbh,khj->kbj", z, w) + b
+            if i == 1:
+                z = jax.nn.softplus(z)
+        return z[0], z[1]
+
     def g(self, t, y):
         # Stacked per-dimension nets applied in one batched einsum: the
         # diagonal structure of the reference's Python list of tiny nets
