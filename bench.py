@@ -35,8 +35,13 @@ N_STEPS = 16
 TPU_TIMEOUT_S = 560
 
 
-def bench_ours(platform=None):
-    """Measure our framework's training steps/sec. Called in a subprocess."""
+def bench_ours(platform=None, adjoint=False):
+    """Measure our framework's training steps/sec. Called in a subprocess.
+
+    ``adjoint=False`` (backprop-through-solver) is the headline mode: it
+    matches the reference flagship example's default
+    (/root/reference/examples/latent_sde_lorenz.py:287) and is the faster
+    gradient mode at this scale (BENCH_NOTES §1)."""
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
@@ -49,21 +54,24 @@ def bench_ours(platform=None):
     model = LatentSDE(jax.random.fold_in(key, 2), DATA, LATENT, CTX, HIDDEN)
 
     def loss_fn(model, xs, key):
-        loss, _ = latent_sde_loss(model, xs, ts, key, dt=DT)
+        loss, _ = latent_sde_loss(model, xs, ts, key, dt=DT, adjoint=adjoint)
         return loss
 
     @jax.jit
-    def train_step(model, xs, key):
-        loss, grads = jax.value_and_grad(loss_fn)(model, xs, key)
+    def train_step(model, xs, step_idx):
+        # fold_in INSIDE the jit: an eager fold_in would dispatch its own tiny
+        # device program every iteration (tunnel RTT each, ~0.4 ms).
+        loss, grads = jax.value_and_grad(loss_fn)(
+            model, xs, jax.random.fold_in(key, step_idx))
         model = jax.tree_util.tree_map(lambda p, g: p - 1e-4 * g, model, grads)
         return model, loss
 
-    model2, loss = train_step(model, xs, key)  # compile + warmup
+    model2, loss = train_step(model, xs, jnp.int32(0))  # compile + warmup
     float(loss)  # forces real execution (async backend)
     t0 = time.perf_counter()
     m = model
     for i in range(N_STEPS):
-        m, loss = train_step(m, xs, jax.random.fold_in(key, i))
+        m, loss = train_step(m, xs, jnp.int32(i))
     float(loss)  # one fetch at the end of the dependent chain
     elapsed = time.perf_counter() - t0
     return N_STEPS / elapsed, jax.devices()[0].platform
@@ -155,9 +163,11 @@ def bench_reference_cpu(n_steps=3):
             sde.contextualize((ts, ctx))
             qz0_mean, qz0_logstd = sde.qz0_net(ctx[0]).chunk(chunks=2, dim=1)
             z0 = qz0_mean + qz0_logstd.exp() * torch.randn_like(qz0_mean)
-            zs, log_ratio = torchsde.sdeint_adjoint(
-                sde, z0, ts, dt=DT, logqp=True, method="euler",
-                adjoint_method="milstein")
+            # Backprop-through-solver (sdeint), matching the reference
+            # flagship example's default mode (latent_sde_lorenz.py:287) and
+            # the mode measured for our framework.
+            zs, log_ratio = torchsde.sdeint(
+                sde, z0, ts, dt=DT, logqp=True, method="euler")
             _xs = sde.projector(zs)
             loss = ((_xs - xs) ** 2).mean() + log_ratio.sum(0).mean()
             loss.backward()
@@ -185,7 +195,8 @@ def main():
     ref = bench_reference_cpu()
     vs = (ours / ref) if (ours and ref) else None
     print(json.dumps({
-        "metric": f"latent-SDE logqp adjoint train steps/sec (batch {BATCH}, "
+        "metric": f"latent-SDE logqp train steps/sec, backprop-through-solver "
+                  f"(reference-default mode, batch {BATCH}, "
                   f"{platform or 'unavailable'} chip) vs torchsde-reference on host CPU",
         "value": round(ours, 3) if ours else 0.0,
         "unit": "steps/sec",

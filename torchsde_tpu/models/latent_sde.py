@@ -149,10 +149,16 @@ def _kl_diag_normal(mean1, logstd1, mean2, logstd2):
 
 
 def latent_sde_loss(model, xs, ts, key, noise_std=0.01, kl_weight=1.0,
-                    dt=1e-2, method="euler", adjoint=True):
+                    dt=1e-2, method="euler", adjoint=False):
     """ELBO loss (reference latent_sde_lorenz.py:171-199): reconstruction
     log-likelihood under the projector decoder, KL at t0, and the pathwise
-    KL integral from the ``logqp`` channel."""
+    KL integral from the ``logqp`` channel.
+
+    ``adjoint`` defaults to False — backprop-through-solver — matching the
+    reference example's default (latent_sde_lorenz.py:287) and the faster
+    mode at this scale: the per-step state is tiny, so storing scan residuals
+    beats the adjoint's recompute+vjp backward 2x on v5e (BENCH_NOTES §1).
+    Use ``adjoint=True`` for long horizons where O(1) solve memory matters."""
     ctx = model.encode(xs, ts)
     model = model.contextualize(ts, ctx)
     z0, qz0_mean, qz0_logstd = model.posterior_z0(ctx[0], key)
