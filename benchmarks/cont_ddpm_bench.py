@@ -36,19 +36,20 @@ def measure(batch, size, base_ch, ch_mults, sample_dt, n_steps=8,
     opt_state = opt.init(sde)
 
     @jax.jit
-    def train_step(sde, opt_state, key, x):
+    def train_step(sde, opt_state, step_idx, x):
         def lf(s):
-            return jnp.mean(s.loss(key, x, partitions=1))
+            return jnp.mean(s.loss(jax.random.fold_in(key, step_idx), x,
+                                   partitions=1))
         loss, grads = jax.value_and_grad(lf)(sde)
         updates, opt_state = opt.update(grads, opt_state, sde)
         return optax.apply_updates(sde, updates), opt_state, loss
 
-    sde1, os1, loss = train_step(sde, opt_state, key, x)  # compile + warmup
+    sde1, os1, loss = train_step(sde, opt_state, jnp.int32(0), x)  # warmup
     float(loss)
     t0 = time.perf_counter()
     s, o = sde, opt_state
     for i in range(n_steps):
-        s, o, loss = train_step(s, o, jax.random.fold_in(key, i), x)
+        s, o, loss = train_step(s, o, jnp.int32(i + 1), x)
     float(loss)
     train_sps = n_steps / (time.perf_counter() - t0)
 

@@ -42,8 +42,12 @@ def measure(batch, t_size, hidden, mlp_size, num_layers, n_steps=8,
     sg, sd = opt_g.init(gen), opt_d.init(disc)
 
     @jax.jit
-    def train_step(gen, disc, sg, sd, key, batch_data):
-        loss, g_gen, g_disc = G.gan_grads(gen, disc, key, ts, batch_data)
+    def train_step(gen, disc, sg, sd, step_idx, batch_data):
+        # fold_in inside the jit: an eager fold_in dispatches its own tiny
+        # device program per iteration over the async tunnel (BENCH_NOTES 1a).
+        loss, g_gen, g_disc = G.gan_grads(gen, disc,
+                                          jax.random.fold_in(key, step_idx),
+                                          ts, batch_data)
         ug, sg = opt_g.update(g_gen, sg, gen)
         gen = optax.apply_updates(gen, ug)
         ud, sd = opt_d.update(g_disc, sd, disc)
@@ -51,13 +55,13 @@ def measure(batch, t_size, hidden, mlp_size, num_layers, n_steps=8,
         return gen, disc, sg, sd, loss
 
     batch_data = data[:batch]
-    gen, disc, sg, sd, loss = train_step(gen, disc, sg, sd, key, batch_data)
+    gen, disc, sg, sd, loss = train_step(gen, disc, sg, sd, jnp.int32(0),
+                                         batch_data)
     float(loss)
     t0 = time.perf_counter()
     for i in range(n_steps):
         gen, disc, sg, sd, loss = train_step(gen, disc, sg, sd,
-                                             jax.random.fold_in(key, i),
-                                             batch_data)
+                                             jnp.int32(i + 1), batch_data)
     float(loss)
     sps = n_steps / (time.perf_counter() - t0)
     return dict(batch=batch, t_size=t_size, hidden=hidden,
