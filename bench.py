@@ -31,7 +31,7 @@ HIDDEN = 128
 T_SIZE = 32
 T1 = 1.0
 DT = 1.0 / 128
-N_STEPS = 16
+N_STEPS = 48
 TPU_TIMEOUT_S = 560
 
 
@@ -57,8 +57,7 @@ def bench_ours(platform=None, adjoint=False):
         loss, _ = latent_sde_loss(model, xs, ts, key, dt=DT, adjoint=adjoint)
         return loss
 
-    @jax.jit
-    def train_step(model, xs, step_idx):
+    def train_step(model, step_idx):
         # fold_in INSIDE the jit: an eager fold_in would dispatch its own tiny
         # device program every iteration (tunnel RTT each, ~0.4 ms).
         loss, grads = jax.value_and_grad(loss_fn)(
@@ -66,12 +65,18 @@ def bench_ours(platform=None, adjoint=False):
         model = jax.tree_util.tree_map(lambda p, g: p - 1e-4 * g, model, grads)
         return model, loss
 
-    model2, loss = train_step(model, xs, jnp.int32(0))  # compile + warmup
+    # Packed training state: the model crosses the host/device boundary as
+    # ONE flat buffer per iteration instead of ~35 leaf handles (~25 us of
+    # host/tunnel overhead per leaf per step) — utils/packing.py.
+    from torchsde_tpu.utils.packing import pack_train_step
+    step = pack_train_step(train_step, model)
+    packed = step.pack(model)
+    _, loss = step(packed, jnp.int32(0))  # compile + warmup
     float(loss)  # forces real execution (async backend)
     t0 = time.perf_counter()
-    m = model
+    p = packed
     for i in range(N_STEPS):
-        m, loss = train_step(m, xs, jnp.int32(i))
+        p, loss = step(p, jnp.int32(i))
     float(loss)  # one fetch at the end of the dependent chain
     elapsed = time.perf_counter() - t0
     return N_STEPS / elapsed, jax.devices()[0].platform

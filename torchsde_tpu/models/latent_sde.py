@@ -149,7 +149,7 @@ def _kl_diag_normal(mean1, logstd1, mean2, logstd2):
 
 
 def latent_sde_loss(model, xs, ts, key, noise_std=0.01, kl_weight=1.0,
-                    dt=1e-2, method="euler", adjoint=False):
+                    dt=1e-2, method="euler", adjoint=False, **solve_kwargs):
     """ELBO loss (reference latent_sde_lorenz.py:171-199): reconstruction
     log-likelihood under the projector decoder, KL at t0, and the pathwise
     KL integral from the ``logqp`` channel.
@@ -165,7 +165,7 @@ def latent_sde_loss(model, xs, ts, key, noise_std=0.01, kl_weight=1.0,
 
     solve = sdeint_adjoint if adjoint else sdeint
     zs, log_ratio = solve(model, z0, ts, dt=dt, method=method, logqp=True,
-                          key=jax.random.fold_in(key, 1))
+                          key=jax.random.fold_in(key, 1), **solve_kwargs)
 
     _xs = model.projector(zs)
     log_pxs = jnp.sum(jnp.mean(_normal_logp(xs, _xs, noise_std), axis=1))
