@@ -53,8 +53,15 @@ def bench_ours(platform=None, adjoint=False):
     xs = jax.random.normal(jax.random.fold_in(key, 1), (T_SIZE, BATCH, DATA))
     model = LatentSDE(jax.random.fold_in(key, 2), DATA, LATENT, CTX, HIDDEN)
 
+    # On TPU the solve runs as ONE whole-solve Pallas kernel (fwd) + one
+    # (hand-derived bwd) — ops/latent_fused.py; +23% over the XLA scan at
+    # this config (BENCH_NOTES §1b). The CPU fallback keeps the XLA path
+    # (the kernel would need the slow Pallas interpreter there).
+    fused = not adjoint and jax.devices()[0].platform != "cpu"
+
     def loss_fn(model, xs, key):
-        loss, _ = latent_sde_loss(model, xs, ts, key, dt=DT, adjoint=adjoint)
+        loss, _ = latent_sde_loss(model, xs, ts, key, dt=DT, adjoint=adjoint,
+                                  fused=fused)
         return loss
 
     def train_step(model, step_idx):

@@ -1,0 +1,86 @@
+"""Fused whole-solve latent-SDE kernel (ops/latent_fused.py) vs the XLA path.
+
+Runs the Pallas kernels through the interpreter on CPU; asserts the fused
+forward and hand-derived backward match `sdeint(..., logqp=True)` and its
+autodiff gradients. Reference semantics: SDELogqp augmentation
+(/root/reference/torchsde/_core/base_sde.py:240-307) + parse_return
+(/root/reference/torchsde/_core/sdeint.py:284-300).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchsde_tpu.ops.latent_fused as LF
+from torchsde_tpu.core.sdeint import sdeint
+from torchsde_tpu.models.latent_sde import LatentSDE, latent_sde_loss
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _interpret_mode():
+    old = LF._INTERPRET
+    LF._INTERPRET = True
+    yield
+    LF._INTERPRET = old
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    B, DATA, L, C, H, T = 8, 3, 4, 16, 32, 6
+    model = LatentSDE(key, DATA, L, C, H)
+    ts = np.linspace(0.0, 1.0, T)
+    # Float32 end-to-end (the flagship config): the noise stream is
+    # dtype-dependent, so the fused/XLA comparison needs matching dtypes.
+    xs = jax.random.normal(jax.random.fold_in(key, 1), (T, B, DATA),
+                           jnp.float32)
+    ctx = model.encode(xs, jnp.asarray(ts, jnp.float32))
+    m = model.contextualize(ts, ctx)
+    z0 = jax.random.normal(jax.random.fold_in(key, 2), (B, L), jnp.float32)
+    return m, model, z0, ts, xs, jax.random.PRNGKey(7), 1.0 / 32
+
+
+def test_forward_matches_xla(setup):
+    m, _, z0, ts, _, nkey, dt = setup
+    zs_ref, kl_ref = sdeint(m, z0, ts, dt=dt, logqp=True, key=nkey,
+                            method="euler")
+    zs_f, kl_f = LF.latent_logqp_solve_fused(m, z0, ts, nkey, dt)
+    assert zs_f.shape == zs_ref.shape and kl_f.shape == kl_ref.shape
+    np.testing.assert_allclose(zs_f, zs_ref, atol=1e-5)
+    np.testing.assert_allclose(kl_f, kl_ref, atol=1e-5)
+
+
+def test_gradients_match_xla(setup):
+    m, _, z0, ts, _, nkey, dt = setup
+
+    def loss_xla(m, z0):
+        zs, kl = sdeint(m, z0, ts, dt=dt, logqp=True, key=nkey,
+                        method="euler")
+        return jnp.sum(zs ** 2) + jnp.sum(jnp.mean(kl, axis=1))
+
+    def loss_fused(m, z0):
+        zs, kl = LF.latent_logqp_solve_fused(m, z0, ts, nkey, dt)
+        return jnp.sum(zs ** 2) + jnp.sum(jnp.mean(kl, axis=1))
+
+    g_ref_m, g_ref_z = jax.grad(loss_xla, argnums=(0, 1))(m, z0)
+    g_f_m, g_f_z = jax.grad(loss_fused, argnums=(0, 1))(m, z0)
+    np.testing.assert_allclose(g_f_z, g_ref_z, atol=1e-4)
+    for name in ("f_net", "h_net", "g_nets", "_ctx"):
+        ref = jax.tree_util.tree_leaves(getattr(g_ref_m, name))
+        got = jax.tree_util.tree_leaves(getattr(g_f_m, name))
+        scale = max(float(jnp.max(jnp.abs(r))) for r in ref) + 1e-12
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(g, r, atol=max(1e-4, 3e-5 * scale))
+
+
+def test_latent_sde_loss_fused_flag(setup):
+    _, model, _, ts, xs, nkey, dt = setup
+    l_ref, _ = latent_sde_loss(model, xs, ts, nkey, dt=dt)
+    l_f, _ = latent_sde_loss(model, xs, ts, nkey, dt=dt, fused=True)
+    np.testing.assert_allclose(l_f, l_ref, rtol=1e-4)
+    with pytest.raises(ValueError):
+        latent_sde_loss(model, xs, ts, nkey, dt=dt, fused=True, adjoint=True)
+    with pytest.raises(ValueError):
+        latent_sde_loss(model, xs, ts, nkey, dt=dt, fused=True,
+                        method="milstein")

@@ -149,7 +149,8 @@ def _kl_diag_normal(mean1, logstd1, mean2, logstd2):
 
 
 def latent_sde_loss(model, xs, ts, key, noise_std=0.01, kl_weight=1.0,
-                    dt=1e-2, method="euler", adjoint=False, **solve_kwargs):
+                    dt=1e-2, method="euler", adjoint=False, fused=False,
+                    **solve_kwargs):
     """ELBO loss (reference latent_sde_lorenz.py:171-199): reconstruction
     log-likelihood under the projector decoder, KL at t0, and the pathwise
     KL integral from the ``logqp`` channel.
@@ -158,14 +159,26 @@ def latent_sde_loss(model, xs, ts, key, noise_std=0.01, kl_weight=1.0,
     reference example's default (latent_sde_lorenz.py:287) and the faster
     mode at this scale: the per-step state is tiny, so storing scan residuals
     beats the adjoint's recompute+vjp backward 2x on v5e (BENCH_NOTES §1).
-    Use ``adjoint=True`` for long horizons where O(1) solve memory matters."""
+    Use ``adjoint=True`` for long horizons where O(1) solve memory matters.
+
+    ``fused=True`` routes the Euler logqp solve through the whole-solve
+    Pallas kernel (ops/latent_fused.py) — one kernel for all forward steps,
+    one for the hand-derived backward, same noise stream as the XLA path."""
     ctx = model.encode(xs, ts)
     model = model.contextualize(ts, ctx)
     z0, qz0_mean, qz0_logstd = model.posterior_z0(ctx[0], key)
 
-    solve = sdeint_adjoint if adjoint else sdeint
-    zs, log_ratio = solve(model, z0, ts, dt=dt, method=method, logqp=True,
-                          key=jax.random.fold_in(key, 1), **solve_kwargs)
+    if fused:
+        if adjoint or method != "euler" or solve_kwargs:
+            raise ValueError(
+                "fused=True supports the default euler/backprop path only")
+        from ..ops.latent_fused import latent_logqp_solve_fused
+        zs, log_ratio = latent_logqp_solve_fused(
+            model, z0, ts, jax.random.fold_in(key, 1), dt)
+    else:
+        solve = sdeint_adjoint if adjoint else sdeint
+        zs, log_ratio = solve(model, z0, ts, dt=dt, method=method, logqp=True,
+                              key=jax.random.fold_in(key, 1), **solve_kwargs)
 
     _xs = model.projector(zs)
     log_pxs = jnp.sum(jnp.mean(_normal_logp(xs, _xs, noise_std), axis=1))

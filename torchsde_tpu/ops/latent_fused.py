@@ -1,0 +1,420 @@
+"""Fused whole-solve kernel for the flagship latent-SDE logqp Euler solve.
+
+The XLA scan path runs ~10 small kernels per solver step (two 3-layer drift
+towers, per-dimension diffusion nets, logqp channel, state update), each
+round-tripping (B, ·) activations through HBM; at the flagship config the
+128-step solve is latency-bound at ~23 us/step (BENCH_NOTES §1a). This module
+runs the ENTIRE solve — and, separately, its hand-derived backward — as ONE
+`pallas_call` each: state and weights stay VMEM-resident across all steps,
+per-step context/noise blocks stream HBM→VMEM behind the MXU work, and the
+backward accumulates weight gradients in VMEM across all steps.
+
+Specialisation (the flagship architecture, models/latent_sde.py):
+
+* Euler–Maruyama, diagonal noise, logqp channel (SDELogqp semantics:
+  ``u = stable_division(f - h, g)``, KL integrand ``0.5|u|^2`` —
+  core/base_sde.py:223-249, reference base_sde.py:240-307);
+* posterior drift ``f = MLP(concat(z, ctx))`` and prior drift ``h = MLP(z)``,
+  both ``(in, H, H, L)`` with softplus; per-dimension diffusion nets
+  ``g_l = sigmoid(w2_l^T softplus(z_l w1_l + b1_l) + b2_l)`` evaluated as two
+  block-diagonal matmuls;
+* requires ``L + C <= 128`` and hidden sizes ``<= 128`` (lane-padded).
+
+All indexing lives in XLA-land: the wrapper pre-gathers per-step context
+rows, samples the grid noise exactly like `core/sdeint.py:155-162`, and the
+custom-VJP boundary is the raw solve (per-step states out / per-step
+cotangents in), so output interpolation and the loss remain ordinary
+differentiable XLA ops.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+_EPS = 1e-7   # stable_division clamp (utils/misc.py:28-36)
+_LANE = 128
+
+
+def _pad2(w, rows, cols):
+    return jnp.pad(w, ((0, rows - w.shape[0]), (0, cols - w.shape[1])))
+
+
+def _pad1(b, cols):
+    return jnp.pad(b, (0, cols - b.shape[0])).reshape(1, cols)
+
+
+def pack_weights(model):
+    """Pad/stack the LatentSDE drift and diffusion weights into the kernel's
+    lane-aligned layout. Differentiable (XLA slicing/padding), so gradients
+    w.r.t. the packed weights map straight back onto the model pytree."""
+    L = model.latent_size
+    fl, hl = model.f_net.layers, model.h_net.layers
+    H = fl[0].w.shape[1]
+    w1g, b1g, w2g, b2g = model.g_nets      # (L,1,Hg), (L,Hg), (L,Hg,1), (L,1)
+    Hg = w1g.shape[2]
+    if H > _LANE or Hg > _LANE:
+        raise ValueError(f"hidden sizes must be <= {_LANE} (got {H}, {Hg})")
+
+    # Block-diagonal spellings of the per-dimension g nets: z @ W1g is the
+    # stack of per-dim outer products; a1g @ W2g is the per-dim contraction.
+    W1g = jnp.zeros((_LANE, L * _LANE), w1g.dtype)
+    b1gf = jnp.zeros((L * _LANE,), w1g.dtype)
+    W2g = jnp.zeros((L * _LANE, _LANE), w1g.dtype)
+    for l in range(L):
+        W1g = W1g.at[l, l * _LANE:l * _LANE + Hg].set(w1g[l, 0])
+        b1gf = b1gf.at[l * _LANE:l * _LANE + Hg].set(b1g[l])
+        W2g = W2g.at[l * _LANE:l * _LANE + Hg, l].set(w2g[l, :, 0])
+    b2gf = jnp.zeros((_LANE,), w1g.dtype).at[:L].set(b2g[:, 0])
+
+    return dict(
+        W1f=_pad2(fl[0].w, _LANE, _LANE), b1f=_pad1(fl[0].b, _LANE),
+        W2f=_pad2(fl[1].w, _LANE, _LANE), b2f=_pad1(fl[1].b, _LANE),
+        W3f=_pad2(fl[2].w, _LANE, _LANE), b3f=_pad1(fl[2].b, _LANE),
+        W1h=_pad2(hl[0].w, _LANE, _LANE), b1h=_pad1(hl[0].b, _LANE),
+        W2h=_pad2(hl[1].w, _LANE, _LANE), b2h=_pad1(hl[1].b, _LANE),
+        W3h=_pad2(hl[2].w, _LANE, _LANE), b3h=_pad1(hl[2].b, _LANE),
+        W1g=W1g, b1g=b1gf.reshape(1, -1),
+        W2g=W2g, b2g=b2gf.reshape(1, -1),
+    )
+
+
+_WNAMES = ("W1f", "b1f", "W2f", "b2f", "W3f", "b3f",
+           "W1h", "b1h", "W2h", "b2h", "W3h", "b3h",
+           "W1g", "b1g", "W2g", "b2g")
+
+
+def _forward_core(z, ctx, w, L, C):
+    """Shared forward math on VMEM values: returns (f, h, g, u) plus the
+    pre-activations/activations the backward needs."""
+    B = z.shape[0]
+    x = jnp.concatenate(
+        [z, ctx, jnp.zeros((B, _LANE - L - C), z.dtype)], axis=1)
+    # Backward derives softplus'(pre) = sigmoid(pre) = 1 - exp(-softplus(pre))
+    # from the ACTIVATIONS alone, so pre-activations are never materialised
+    # (VMEM: each saved (B, H) buffer is 0.5 MB at the flagship config).
+    a1f = jax.nn.softplus(
+        jnp.dot(x, w["W1f"], preferred_element_type=jnp.float32) + w["b1f"])
+    a2f = jax.nn.softplus(
+        jnp.dot(a1f, w["W2f"], preferred_element_type=jnp.float32) + w["b2f"])
+    ffull = jnp.dot(a2f, w["W3f"], preferred_element_type=jnp.float32) + w["b3f"]
+    f = ffull[:, :L]
+
+    a1h = jax.nn.softplus(
+        jnp.dot(x, w["W1h"], preferred_element_type=jnp.float32) + w["b1h"])
+    a2h = jax.nn.softplus(
+        jnp.dot(a1h, w["W2h"], preferred_element_type=jnp.float32) + w["b2h"])
+    hfull = jnp.dot(a2h, w["W3h"], preferred_element_type=jnp.float32) + w["b3h"]
+    h = hfull[:, :L]
+
+    a1g = jax.nn.softplus(
+        jnp.dot(x, w["W1g"], preferred_element_type=jnp.float32) + w["b1g"])
+    gfull = jax.nn.sigmoid(
+        jnp.dot(a1g, w["W2g"], preferred_element_type=jnp.float32) + w["b2g"])
+    g = gfull[:, :L]
+
+    big = g > _EPS
+    gs = jnp.where(big, g, _EPS)
+    u = (f - h) / gs
+    acts = dict(x=x, a1f=a1f, a2f=a2f, a1h=a1h, a2h=a2h, a1g=a1g,
+                gfull=gfull, big=big, gs=gs)
+    return f, h, g, u, acts
+
+
+def _fwd_kernel(z0_ref, ctx_ref, noise_ref, dts_ref, *wrefs, zs_ref, qs_ref,
+                z_s, q_s, L, C):
+    w = {name: r[...] for name, r in zip(_WNAMES, wrefs)}
+    n = pl.program_id(0)
+
+    @pl.when(n == 0)
+    def _():
+        z_s[...] = z0_ref[...]
+        q_s[...] = jnp.zeros_like(q_s)
+
+    z = z_s[...]
+    dt = dts_ref[n, 0]
+    f, h, g, u, _ = _forward_core(z, ctx_ref[0], w, L, C)
+    q_s[...] = q_s[...] + 0.5 * jnp.sum(u * u, axis=1, keepdims=True) * dt
+    z_s[...] = z + f * dt + g * noise_ref[0]
+    zs_ref[0] = z_s[...]
+    qs_ref[0] = q_s[...]
+
+
+def _bwd_kernel(z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref,
+                *wrefs, dz0_ref, dctx_ref, dnoise_ref, dw_refs, dz_s, L, C):
+    w = {name: r[...] for name, r in zip(_WNAMES, wrefs)}
+    r_ = pl.program_id(0)
+    n_total = pl.num_programs(0)
+
+    @pl.when(r_ == 0)
+    def _():
+        dz_s[...] = jnp.zeros_like(dz_s)
+        for dref in dw_refs.values():
+            dref[...] = jnp.zeros_like(dref)
+
+    z = z_pre_ref[0]
+    ctx = ctx_ref[0]
+    dW = noise_ref[0]
+    dt = dts_ref[r_, 0]
+    f, h, g, u, a = _forward_core(z, ctx, w, L, C)
+    gs, big, gfull = a["gs"], a["big"], a["gfull"]
+
+    # Incoming cotangents: gz for the post-step state, gq for this step's
+    # logqp increment (already reverse-accumulated by the wrapper).
+    dz = dz_s[...] + gz_ref[0]
+    dnoise_ref[0] = dz * g
+    du = gq_ref[0] * u * dt
+    df = dz * dt + du / gs
+    dh = -du / gs
+    dg = (dz * dW - du * u / gs) * big.astype(z.dtype)
+
+    B = z.shape[0]
+    zcols = jnp.zeros((B, _LANE - L), z.dtype)
+
+    def dsoftplus(act):
+        # softplus'(pre) = sigmoid(pre) = 1 - exp(-softplus(pre))
+        return 1.0 - jnp.exp(-act)
+
+    def back_tower(dout, a2, a1, W3, W2, W1, names):
+        dfull = jnp.concatenate([dout, zcols], axis=1)
+        dw_refs[names[4]][...] += jnp.dot(a2.T, dfull,
+                                          preferred_element_type=jnp.float32)
+        dw_refs[names[5]][...] += jnp.sum(dfull, axis=0, keepdims=True)
+        da2 = jnp.dot(dfull, W3.T, preferred_element_type=jnp.float32)
+        dpre2 = da2 * dsoftplus(a2)
+        dw_refs[names[2]][...] += jnp.dot(a1.T, dpre2,
+                                          preferred_element_type=jnp.float32)
+        dw_refs[names[3]][...] += jnp.sum(dpre2, axis=0, keepdims=True)
+        da1 = jnp.dot(dpre2, W2.T, preferred_element_type=jnp.float32)
+        dpre1 = da1 * dsoftplus(a1)
+        dw_refs[names[0]][...] += jnp.dot(a["x"].T, dpre1,
+                                          preferred_element_type=jnp.float32)
+        dw_refs[names[1]][...] += jnp.sum(dpre1, axis=0, keepdims=True)
+        return jnp.dot(dpre1, W1.T, preferred_element_type=jnp.float32)
+
+    dx = back_tower(df, a["a2f"], a["a1f"], w["W3f"], w["W2f"], w["W1f"],
+                    ("W1f", "b1f", "W2f", "b2f", "W3f", "b3f"))
+    dx += back_tower(dh, a["a2h"], a["a1h"], w["W3h"], w["W2h"], w["W1h"],
+                     ("W1h", "b1h", "W2h", "b2h", "W3h", "b3h"))
+
+    dgfull = jnp.concatenate([dg, zcols], axis=1)
+    dpre2g = dgfull * gfull * (1.0 - gfull)
+    dw_refs["W2g"][...] += jnp.dot(a["a1g"].T, dpre2g,
+                                   preferred_element_type=jnp.float32)
+    dw_refs["b2g"][...] += jnp.sum(dpre2g, axis=0, keepdims=True)
+    da1g = jnp.dot(dpre2g, w["W2g"].T, preferred_element_type=jnp.float32)
+    dpre1g = da1g * dsoftplus(a["a1g"])
+    dw_refs["W1g"][...] += jnp.dot(a["x"].T, dpre1g,
+                                   preferred_element_type=jnp.float32)
+    dw_refs["b1g"][...] += jnp.sum(dpre1g, axis=0, keepdims=True)
+    dx += jnp.dot(dpre1g, w["W1g"].T, preferred_element_type=jnp.float32)
+
+    dz_s[...] = dz + dx[:, :L]
+    dctx_ref[0] = dx[:, L:L + C]
+
+    @pl.when(r_ == n_total - 1)
+    def _():
+        dz0_ref[...] = dz_s[...]
+
+
+# Tests flip this to run the kernels through the Pallas interpreter on CPU.
+_INTERPRET = False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _fused_solve(weights, z0, ctx_steps, noise, dts):
+    zs, qs = _fused_solve_fwd_impl(weights, z0, ctx_steps, noise, dts)
+    return zs, qs
+
+
+def _fused_solve_fwd_impl(weights, z0, ctx_steps, noise, dts, interpret=None):
+    interpret = _INTERPRET if interpret is None else interpret
+    n, B, C = ctx_steps.shape
+    L = z0.shape[1]
+    kernel = functools.partial(_fwd_kernel, L=L, C=C)
+
+    def kern(z0_ref, ctx_ref, noise_ref, dts_ref, *rest):
+        wrefs = rest[:len(_WNAMES)]
+        zs_ref, qs_ref, z_s, q_s = rest[len(_WNAMES):]
+        kernel(z0_ref, ctx_ref, noise_ref, dts_ref, *wrefs,
+               zs_ref=zs_ref, qs_ref=qs_ref, z_s=z_s, q_s=q_s)
+
+    zs, qs = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((B, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(_WNAMES),
+        out_specs=[
+            pl.BlockSpec((1, B, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, B, L), z0.dtype),
+            jax.ShapeDtypeStruct((n, B, 1), z0.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, L), z0.dtype),
+            pltpu.VMEM((B, 1), z0.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if _HAVE_PALLAS else None,
+        interpret=interpret,
+    )(z0, ctx_steps, noise, dts.reshape(-1, 1),
+      *[weights[k] for k in _WNAMES])
+    return zs, qs
+
+
+def _fused_solve_fwd(weights, z0, ctx_steps, noise, dts):
+    zs, qs = _fused_solve_fwd_impl(weights, z0, ctx_steps, noise, dts)
+    return (zs, qs), (weights, z0, ctx_steps, noise, dts, zs)
+
+
+def _fused_solve_bwd_impl(weights, z0, ctx_steps, noise, dts, zs, gz, gq,
+                          interpret=None):
+    interpret = _INTERPRET if interpret is None else interpret
+    n, B, C = ctx_steps.shape
+    L = z0.shape[1]
+    # Cotangents may be weak/promoted dtypes (e.g. f64 under jax_enable_x64);
+    # the kernel's refs are in the solve dtype.
+    gz = jnp.asarray(gz, z0.dtype)
+    gq = jnp.asarray(gq, z0.dtype)
+    # Pre-step states, reverse-accumulated logqp cotangents, flipped streams.
+    z_pre = jnp.concatenate([z0[None], zs[:-1]], axis=0)
+    ginc = jnp.cumsum(gq[::-1], axis=0)[::-1]          # (n, B, 1)
+    flip = lambda a: a[::-1]                           # noqa: E731
+
+    kernel = functools.partial(_bwd_kernel, L=L, C=C)
+
+    n_w = len(_WNAMES)
+
+    def kern(*refs):
+        (z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref) = refs[:6]
+        wrefs = refs[6:6 + n_w]
+        outs = refs[6 + n_w:]
+        dz0_ref, dctx_ref, dnoise_ref = outs[0], outs[1], outs[2]
+        dw_refs = dict(zip(_WNAMES, outs[3:3 + n_w]))
+        dz_s = outs[3 + n_w]
+        kernel(z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref,
+               *wrefs, dz0_ref=dz0_ref, dctx_ref=dctx_ref,
+               dnoise_ref=dnoise_ref, dw_refs=dw_refs, dz_s=dz_s)
+
+    step_spec = lambda d: pl.BlockSpec((1, B, d), lambda i: (i, 0, 0),  # noqa: E731
+                                       memory_space=pltpu.VMEM)
+    dw_shapes = [jax.ShapeDtypeStruct(weights[k].shape, weights[k].dtype)
+                 for k in _WNAMES]
+    out = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            step_spec(L),                                   # z_pre (flipped)
+            step_spec(C),                                   # ctx (flipped)
+            step_spec(L),                                   # noise (flipped)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            step_spec(L),                                   # gz (flipped)
+            step_spec(1),                                   # ginc (flipped)
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_w,
+        out_specs=[
+            pl.BlockSpec((B, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            step_spec(C),                                   # dctx (flipped)
+            step_spec(L),                                   # dnoise (flipped)
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_w,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L), z0.dtype),
+            jax.ShapeDtypeStruct((n, B, C), z0.dtype),
+            jax.ShapeDtypeStruct((n, B, L), z0.dtype),
+        ] + dw_shapes,
+        scratch_shapes=[pltpu.VMEM((B, L), z0.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if _HAVE_PALLAS else None,
+        interpret=interpret,
+    )(flip(z_pre), flip(ctx_steps), flip(noise), flip(dts).reshape(-1, 1),
+      flip(gz), flip(ginc), *[weights[k] for k in _WNAMES])
+
+    dz0, dctx_flipped, dnoise_flipped = out[0], out[1], out[2]
+    dweights = dict(zip(_WNAMES, out[3:3 + n_w]))
+    return dweights, dz0, flip(dctx_flipped), flip(dnoise_flipped)
+
+
+def _fused_solve_bwd(residuals, cotangents):
+    weights, z0, ctx_steps, noise, dts, zs = residuals
+    gz, gq = cotangents
+    dweights, dz0, dctx, dnoise = _fused_solve_bwd_impl(
+        weights, z0, ctx_steps, noise, dts, zs, gz, gq)
+    return dweights, dz0, dctx, dnoise, jnp.zeros_like(dts)
+
+
+_fused_solve.defvjp(_fused_solve_fwd, _fused_solve_bwd)
+
+
+def latent_logqp_solve_fused(model, z0, ts, key, dt):
+    """Drop-in fused replacement for the flagship
+    ``sdeint(model, z0, ts, logqp=True, method='euler')`` solve.
+
+    Returns ``(zs, log_ratio)`` with the exact shapes/semantics of the XLA
+    path (zs: ``(T, B, L)`` on ``ts`` via linear interpolation on the step
+    grid, log_ratio: per-interval KL increments, reference
+    sdeint.py:284-300). The noise stream matches the XLA path bitwise (same
+    ``BrownianInterval``-keyed grid sampling, core/sdeint.py:155-162), so
+    ``fused`` and XLA solves of the same ``key`` are directly comparable.
+    """
+    import numpy as np
+
+    from ..brownian.interval import BrownianInterval
+    from ..core import integrate
+    from ..core.sdeint import _time_dtype
+
+    L = model.latent_size
+    B = z0.shape[0]
+    # The kernel computes in the weights' dtype (f32 on the MXU). Casting
+    # here — outside the custom_vjp boundary — keeps mixed-precision callers
+    # working: autodiff maps the cotangents back through the casts.
+    wdtype = model.f_net.layers[0].w.dtype
+    z0 = jnp.asarray(z0, wdtype)
+    ts_np = np.asarray(ts, np.float64)
+    grid = integrate.build_step_grid(ts_np[0], ts_np[-1], dt)
+    n = len(grid) - 1
+
+    # Same default-noise derivation as sdeint's _BMWrapper path: the logqp
+    # wrapper augments the diagonal state with one channel, so the default
+    # bm has size (B, L+1); the kernel consumes the first L channels (the
+    # logqp channel's diffusion is zero).
+    inner = BrownianInterval(t0=float(ts_np[0]), t1=float(ts_np[-1]),
+                             size=(B, L + 1), dtype=z0.dtype, key=key)
+    W, _, _ = integrate.sample_grid_noise(inner._key, grid, (B, L + 1),
+                                          z0.dtype)
+    noise = W[..., :L]
+
+    # Per-step context rows: the model looks ctx up by time with
+    # searchsorted(ctx_ts, t, 'left') at the step's left endpoint
+    # (models/latent_sde.py:_ctx_at). jnp ops so this stays differentiable —
+    # the gather's transpose IS the dctx scatter back into (T, B, C).
+    t0s = jnp.asarray(grid[:-1], _time_dtype(z0))
+    idx = jnp.clip(jnp.searchsorted(model._ctx_ts, t0s, side="left"), 0,
+                   model._ctx.shape[0] - 1)
+    ctx_steps = jnp.asarray(model._ctx, wdtype)[idx]  # (n, B, C)
+
+    dts = jnp.asarray(np.diff(grid), z0.dtype)
+    weights = pack_weights(model)
+    zs_steps, qs_steps = _fused_solve(weights, z0, ctx_steps, noise, dts)
+
+    # States on the full grid (z0/q0 prepended), interpolated onto ts and
+    # parsed exactly like the XLA path (logqp -> per-interval differences).
+    zq_grid = jnp.concatenate([zs_steps, qs_steps], axis=-1)
+    zq0 = jnp.concatenate([z0, jnp.zeros((B, 1), z0.dtype)], axis=-1)
+    zq_full = jnp.concatenate([zq0[None], zq_grid], axis=0)
+    ys = integrate.linear_interp_on_grid(jnp.asarray(ts, z0.dtype),
+                                         jnp.asarray(grid, z0.dtype), zq_full)
+    zs = ys[:, :, :L]
+    log_ratio = ys[1:, :, L] - ys[:-1, :, L]
+    return zs, log_ratio
