@@ -15,7 +15,7 @@ import json
 import time
 
 
-def measure(batch, t_size, hidden, mlp_size, num_layers, n_steps=8,
+def measure(batch, t_size, hidden, mlp_size, num_layers, n_steps=32,
             platform=None):
     import jax
     if platform:
@@ -39,29 +39,37 @@ def measure(batch, t_size, hidden, mlp_size, num_layers, n_steps=8,
                            num_layers=num_layers)
     opt_g = optax.adadelta(2e-4)
     opt_d = optax.adadelta(1e-3)
-    sg, sd = opt_g.init(gen), opt_d.init(disc)
 
-    @jax.jit
-    def train_step(gen, disc, sg, sd, step_idx, batch_data):
+    batch_data = data[:batch]
+
+    def train_step(state, step_idx):
+        gen, disc, sg, sd = state
         # fold_in inside the jit: an eager fold_in dispatches its own tiny
         # device program per iteration over the async tunnel (BENCH_NOTES 1a).
+        # adjoint=False: for reversible Heun backprop-through-solver computes
+        # the same exact discrete gradient as the adjoint pair and is ~1.5x
+        # faster at this scale (BENCH_NOTES §1b).
         loss, g_gen, g_disc = G.gan_grads(gen, disc,
                                           jax.random.fold_in(key, step_idx),
-                                          ts, batch_data)
+                                          ts, batch_data, adjoint=False)
         ug, sg = opt_g.update(g_gen, sg, gen)
         gen = optax.apply_updates(gen, ug)
         ud, sd = opt_d.update(g_disc, sd, disc)
         disc = optax.apply_updates(disc, ud)
-        return gen, disc, sg, sd, loss
+        disc = disc.clip_weights()  # Lipschitz constraint (sde_gan.py:409-416)
+        return (gen, disc, sg, sd), loss
 
-    batch_data = data[:batch]
-    gen, disc, sg, sd, loss = train_step(gen, disc, sg, sd, jnp.int32(0),
-                                         batch_data)
+    # Packed training state: gen+disc+optimizer states cross the host/device
+    # boundary as ONE flat buffer (~200 leaf handles otherwise; utils/packing).
+    from torchsde_tpu.utils.packing import pack_train_step
+    state0 = (gen, disc, opt_g.init(gen), opt_d.init(disc))
+    step = pack_train_step(train_step, state0)
+    packed = step.pack(state0)
+    packed, loss = step(packed, jnp.int32(0))
     float(loss)
     t0 = time.perf_counter()
     for i in range(n_steps):
-        gen, disc, sg, sd, loss = train_step(gen, disc, sg, sd,
-                                             jnp.int32(i + 1), batch_data)
+        packed, loss = step(packed, jnp.int32(i + 1))
     float(loss)
     sps = n_steps / (time.perf_counter() - t0)
     return dict(batch=batch, t_size=t_size, hidden=hidden,

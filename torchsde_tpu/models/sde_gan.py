@@ -146,17 +146,20 @@ class Discriminator(Module):
                             dtype=dtype)
         self.readout = Linear(ks[2], hidden_size, 1, dtype)
 
-    def __call__(self, ts, ys_paths, dt=1.0, adjoint=True):
-        """ys_paths: (batch, t_size, 1 + data_size), time in channel 0;
-        ``ts`` are the (concrete) knot times. Returns the mean critic score
+    def scores(self, ts, ys_paths, dt=1.0, adjoint=True):
+        """Per-sample critic scores. ys_paths: (batch, t_size, 1 + data_size),
+        time in channel 0; ``ts`` are the (concrete) knot times
         (reference sde_gan.py:170-190)."""
         h0 = self.initial(ys_paths[:, 0])
         func = self.func.evolve(_path_ts=jnp.asarray(ts, ys_paths.dtype),
                                 _path_ys=ys_paths)
         solve = sdeint_adjoint if adjoint else sdeint
         hs = solve(func, h0, ts, method="reversible_heun", dt=dt, entropy=0)
-        score = self.readout(hs[-1])
-        return jnp.mean(score)
+        return self.readout(hs[-1])[:, 0]
+
+    def __call__(self, ts, ys_paths, dt=1.0, adjoint=True):
+        """Mean critic score over the batch."""
+        return jnp.mean(self.scores(ts, ys_paths, dt=dt, adjoint=adjoint))
 
     def clip_weights(self):
         """Lipschitz constraint: clamp each Linear's weight to
@@ -219,17 +222,37 @@ def get_ou_data(key, dataset_size, t_size, dt=1e-1):
     return ts, jnp.concatenate([ts_chan, ys], axis=2)
 
 
-def gan_loss(generator, discriminator, key, ts, real_paths, dt=1.0):
+def gan_loss(generator, discriminator, key, ts, real_paths, dt=1.0,
+             adjoint=True):
     """Single Wasserstein-style objective D(fake) - D(real); the training
-    step negates the generator's gradients (reference sde_gan.py:395-405)."""
-    fake = generator(key, ts, real_paths.shape[0], dt=dt)
-    return discriminator(ts, fake, dt=dt) - discriminator(ts, real_paths, dt=dt)
+    step negates the generator's gradients (reference sde_gan.py:395-405).
+
+    The fake and real critic solves share weights and knot times, so they run
+    as ONE CDE solve at 2x batch instead of two sequential solves — the CDE
+    step's matmuls are tiny ((B,17)@(17,16)), so the workload is
+    latency-bound and halving the number of sequential solver steps nearly
+    halves the discriminator cost. Values are identical to two separate
+    solves (the CDE drift is per-sample; its zero diffusion makes the noise
+    stream irrelevant).
+
+    ``adjoint=True`` uses the reversible pair's O(1)-memory backward
+    (reference sde_gan.py:129-130); ``adjoint=False`` backprops through the
+    solver scan. For reversible Heun both compute the SAME exact discrete
+    gradient — the adjoint pair inverts the recurrence algebraically, the
+    scan stores it — so the choice is purely a memory/speed tradeoff: at
+    this scale backprop is ~1.5x faster on v5e (BENCH_NOTES §1b)."""
+    B = real_paths.shape[0]
+    fake = generator(key, ts, B, dt=dt, adjoint=adjoint)
+    both = jnp.concatenate([fake, real_paths], axis=0)
+    s = discriminator.scores(ts, both, dt=dt, adjoint=adjoint)
+    return jnp.mean(s[:B]) - jnp.mean(s[B:])
 
 
-def gan_grads(generator, discriminator, key, ts, real_paths, dt=1.0):
+def gan_grads(generator, discriminator, key, ts, real_paths, dt=1.0,
+              adjoint=True):
     """Returns (loss, gen_grads, disc_grads) with the generator's gradients
     already negated (it ascends the critic score)."""
     loss, (g_gen, g_disc) = jax.value_and_grad(gan_loss, argnums=(0, 1))(
-        generator, discriminator, key, ts, real_paths, dt)
+        generator, discriminator, key, ts, real_paths, dt, adjoint)
     g_gen = jax.tree_util.tree_map(lambda x: -x, g_gen)
     return loss, g_gen, g_disc
