@@ -14,7 +14,7 @@ import json
 import time
 
 
-def measure(batch, size, base_ch, ch_mults, sample_dt, n_steps=8,
+def measure(batch, size, base_ch, ch_mults, sample_dt, n_steps=32,
             platform=None):
     import jax
     if platform:
@@ -33,23 +33,28 @@ def measure(batch, size, base_ch, ch_mults, sample_dt, n_steps=8,
     x = jax.random.normal(jax.random.fold_in(key, 2), (batch, 1, size, size))
 
     opt = optax.adam(1e-4)
-    opt_state = opt.init(sde)
 
-    @jax.jit
-    def train_step(sde, opt_state, step_idx, x):
+    def train_step(state, step_idx):
+        sde, opt_state = state
+
         def lf(s):
             return jnp.mean(s.loss(jax.random.fold_in(key, step_idx), x,
                                    partitions=1))
         loss, grads = jax.value_and_grad(lf)(sde)
         updates, opt_state = opt.update(grads, opt_state, sde)
-        return optax.apply_updates(sde, updates), opt_state, loss
+        return (optax.apply_updates(sde, updates), opt_state), loss
 
-    sde1, os1, loss = train_step(sde, opt_state, jnp.int32(0), x)  # warmup
+    # Packed training state: U-Net + Adam state cross the tunnel as ONE
+    # buffer per step instead of ~300 leaf handles (utils/packing.py).
+    from torchsde_tpu.utils.packing import pack_train_step
+    state0 = (sde, opt.init(sde))
+    step = pack_train_step(train_step, state0)
+    packed = step.pack(state0)
+    packed, loss = step(packed, jnp.int32(0))  # warmup
     float(loss)
     t0 = time.perf_counter()
-    s, o = sde, opt_state
     for i in range(n_steps):
-        s, o, loss = train_step(s, o, jnp.int32(i + 1), x)
+        packed, loss = step(packed, jnp.int32(i + 1))
     float(loss)
     train_sps = n_steps / (time.perf_counter() - t0)
 
