@@ -1,0 +1,113 @@
+"""Fused whole-solve SDE-GAN kernels (ops/gan_fused.py) vs the XLA path.
+
+Runs the Pallas kernels through the interpreter on CPU; asserts the fused
+generator (reversible-Heun, general noise) and critic-CDE solves match
+`sdeint` and its autodiff gradients. Reference semantics: reversible Heun
+(/root/reference/torchsde/_core/methods/reversible_heun.py:48-73) and the
+sde_gan workload (/root/reference/examples/sde_gan.py:129-130, 183-185).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchsde_tpu.ops.gan_fused as GF
+from torchsde_tpu.core.sdeint import sdeint
+from torchsde_tpu.models import sde_gan as G
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _interpret_mode():
+    old = GF._INTERPRET
+    GF._INTERPRET = True
+    yield
+    GF._INTERPRET = old
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    B, T = 8, 6
+    ts = np.linspace(0.0, T - 1, T)
+    gen = G.Generator(jax.random.fold_in(key, 2), 1, 5, 3, 16, 16, 1)
+    disc = G.Discriminator(jax.random.fold_in(key, 3), 1, 16, 16, 1)
+    _, data = G.get_ou_data(jax.random.fold_in(key, 1), B, T)
+    real = jnp.asarray(data[:B], jnp.float32)
+    return key, B, ts, gen, disc, real
+
+
+def _max_tree_diff(a_tree, b_tree):
+    aa = jax.tree_util.tree_leaves(a_tree)
+    bb = jax.tree_util.tree_leaves(b_tree)
+    return max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(aa, bb))
+
+
+def test_generator_solve_matches_xla(setup):
+    key, B, ts, gen, _, _ = setup
+    x0 = jax.random.normal(jax.random.fold_in(key, 5), (B, 16), jnp.float32)
+    k2 = jax.random.fold_in(key, 6)
+    xs_ref = sdeint(gen.func, x0, ts, method="reversible_heun", dt=1.0,
+                    key=k2)
+    xs_f = GF.generator_solve_fused(gen.func, x0, ts, k2, 1.0)
+    np.testing.assert_allclose(xs_f, xs_ref, atol=1e-5)
+
+    def loss_ref(func, x0):
+        return jnp.sum(sdeint(func, x0, ts, method="reversible_heun",
+                              dt=1.0, key=k2) ** 2)
+
+    def loss_fus(func, x0):
+        return jnp.sum(GF.generator_solve_fused(func, x0, ts, k2, 1.0) ** 2)
+
+    gr_f, gr_x = jax.grad(loss_ref, argnums=(0, 1))(gen.func, x0)
+    gf_f, gf_x = jax.grad(loss_fus, argnums=(0, 1))(gen.func, x0)
+    np.testing.assert_allclose(gf_x, gr_x, atol=1e-4)
+    assert _max_tree_diff(gr_f, gf_f) < 1e-3  # weight grads, scale ~1e2
+
+
+def test_cde_solve_matches_xla(setup):
+    key, B, ts, _, disc, real = setup
+    h0 = disc.initial(real[:, 0])
+    func = disc.func.evolve(_path_ts=jnp.asarray(ts, jnp.float32),
+                            _path_ys=real)
+    hs_ref = sdeint(func, h0, ts, method="reversible_heun", dt=1.0,
+                    entropy=0)
+    h_f = GF.cde_final_state_fused(func, h0, ts, 1.0)
+    np.testing.assert_allclose(h_f, hs_ref[-1], atol=1e-5)
+
+    def loss_ref(ys, h0):
+        f = func.evolve(_path_ys=ys)
+        return jnp.sum(sdeint(f, h0, ts, method="reversible_heun", dt=1.0,
+                              entropy=0)[-1] ** 2)
+
+    def loss_fus(ys, h0):
+        f = func.evolve(_path_ys=ys)
+        return jnp.sum(GF.cde_final_state_fused(f, h0, ts, 1.0) ** 2)
+
+    gr_y, gr_h = jax.grad(loss_ref, argnums=(0, 1))(real, h0)
+    gf_y, gf_h = jax.grad(loss_fus, argnums=(0, 1))(real, h0)
+    np.testing.assert_allclose(gf_h, gr_h, atol=1e-4)
+    # gradients through the control-path knot VALUES must match
+    np.testing.assert_allclose(gf_y, gr_y, atol=1e-4)
+
+
+def test_gan_loss_fused_grads_match(setup):
+    key, _, ts, gen, disc, real = setup
+    k = jax.random.fold_in(key, 4)
+    lr, (ggr, gdr) = jax.value_and_grad(G.gan_loss, argnums=(0, 1))(
+        gen, disc, k, ts, real, 1.0, False, False)
+    lf, (ggf, gdf) = jax.value_and_grad(jax.jit(
+        lambda g_, d_: G.gan_loss(g_, d_, k, ts, real, 1.0, False, True)),
+        argnums=(0, 1))(gen, disc)
+    np.testing.assert_allclose(lf, lr, atol=1e-5)
+    assert _max_tree_diff(ggr, ggf) < 1e-5
+    assert _max_tree_diff(gdr, gdf) < 1e-5
+
+
+def test_cde_knot_time_guard(setup):
+    key, B, ts, _, disc, real = setup
+    h0 = disc.initial(real[:, 0])
+    bad = disc.func.evolve(
+        _path_ts=jnp.asarray(ts, jnp.float32) * 2.0, _path_ys=real)
+    with pytest.raises(ValueError):
+        GF.cde_final_state_fused(bad, h0, ts, 1.0)

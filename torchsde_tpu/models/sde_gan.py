@@ -85,14 +85,24 @@ class Generator(Module):
         self.readout = Linear(ks[2], hidden_size, data_size, dtype)
         self.initial_noise_size = initial_noise_size
 
-    def __call__(self, key, ts, batch_size, dt=1.0, adjoint=True):
+    def __call__(self, key, ts, batch_size, dt=1.0, adjoint=True,
+                 fused=False):
         """Returns generated paths with time as channel 0:
-        shape (batch, t_size, 1 + data_size)."""
+        shape (batch, t_size, 1 + data_size). ``fused=True`` runs the solve
+        as whole-solve Pallas kernels (ops/gan_fused.py, TPU)."""
         k1, k2 = jax.random.split(key)
-        init_noise = jax.random.normal(k1, (batch_size, self.initial_noise_size))
+        # Sample in the parameters' dtype: keeps the pipeline (and the noise
+        # stream, which is dtype-dependent) stable under jax_enable_x64.
+        init_noise = jax.random.normal(k1, (batch_size, self.initial_noise_size),
+                                       self.readout.w.dtype)
         x0 = self.initial(init_noise)
-        solve = sdeint_adjoint if adjoint else sdeint
-        xs = solve(self.func, x0, ts, method="reversible_heun", dt=dt, key=k2)
+        if fused:
+            from ..ops.gan_fused import generator_solve_fused
+            xs = generator_solve_fused(self.func, x0, ts, k2, dt)
+        else:
+            solve = sdeint_adjoint if adjoint else sdeint
+            xs = solve(self.func, x0, ts, method="reversible_heun", dt=dt,
+                       key=k2)
         ys = self.readout(xs)                      # (T, B, data)
         ys = jnp.transpose(ys, (1, 0, 2))          # (B, T, data)
         ts_chan = jnp.broadcast_to(jnp.asarray(ts, ys.dtype)[None, :, None],
@@ -146,16 +156,23 @@ class Discriminator(Module):
                             dtype=dtype)
         self.readout = Linear(ks[2], hidden_size, 1, dtype)
 
-    def scores(self, ts, ys_paths, dt=1.0, adjoint=True):
+    def scores(self, ts, ys_paths, dt=1.0, adjoint=True, fused=False):
         """Per-sample critic scores. ys_paths: (batch, t_size, 1 + data_size),
         time in channel 0; ``ts`` are the (concrete) knot times
-        (reference sde_gan.py:170-190)."""
+        (reference sde_gan.py:170-190). ``fused=True`` runs the CDE solve as
+        whole-solve Pallas kernels (ops/gan_fused.py, TPU)."""
         h0 = self.initial(ys_paths[:, 0])
         func = self.func.evolve(_path_ts=jnp.asarray(ts, ys_paths.dtype),
                                 _path_ys=ys_paths)
-        solve = sdeint_adjoint if adjoint else sdeint
-        hs = solve(func, h0, ts, method="reversible_heun", dt=dt, entropy=0)
-        return self.readout(hs[-1])[:, 0]
+        if fused:
+            from ..ops.gan_fused import cde_final_state_fused
+            h_last = cde_final_state_fused(func, h0, ts, dt)
+        else:
+            solve = sdeint_adjoint if adjoint else sdeint
+            hs = solve(func, h0, ts, method="reversible_heun", dt=dt,
+                       entropy=0)
+            h_last = hs[-1]
+        return self.readout(h_last)[:, 0]
 
     def __call__(self, ts, ys_paths, dt=1.0, adjoint=True):
         """Mean critic score over the batch."""
@@ -223,7 +240,7 @@ def get_ou_data(key, dataset_size, t_size, dt=1e-1):
 
 
 def gan_loss(generator, discriminator, key, ts, real_paths, dt=1.0,
-             adjoint=True):
+             adjoint=True, fused=False):
     """Single Wasserstein-style objective D(fake) - D(real); the training
     step negates the generator's gradients (reference sde_gan.py:395-405).
 
@@ -242,17 +259,17 @@ def gan_loss(generator, discriminator, key, ts, real_paths, dt=1.0,
     scan stores it — so the choice is purely a memory/speed tradeoff: at
     this scale backprop is ~1.5x faster on v5e (BENCH_NOTES §1b)."""
     B = real_paths.shape[0]
-    fake = generator(key, ts, B, dt=dt, adjoint=adjoint)
+    fake = generator(key, ts, B, dt=dt, adjoint=adjoint, fused=fused)
     both = jnp.concatenate([fake, real_paths], axis=0)
-    s = discriminator.scores(ts, both, dt=dt, adjoint=adjoint)
+    s = discriminator.scores(ts, both, dt=dt, adjoint=adjoint, fused=fused)
     return jnp.mean(s[:B]) - jnp.mean(s[B:])
 
 
 def gan_grads(generator, discriminator, key, ts, real_paths, dt=1.0,
-              adjoint=True):
+              adjoint=True, fused=False):
     """Returns (loss, gen_grads, disc_grads) with the generator's gradients
     already negated (it ascends the critic score)."""
     loss, (g_gen, g_disc) = jax.value_and_grad(gan_loss, argnums=(0, 1))(
-        generator, discriminator, key, ts, real_paths, dt, adjoint)
+        generator, discriminator, key, ts, real_paths, dt, adjoint, fused)
     g_gen = jax.tree_util.tree_map(lambda x: -x, g_gen)
     return loss, g_gen, g_disc
