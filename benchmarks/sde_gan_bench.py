@@ -16,7 +16,7 @@ import time
 
 
 def measure(batch, t_size, hidden, mlp_size, num_layers, n_steps=32,
-            platform=None):
+            platform=None, fused=False):
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
@@ -51,7 +51,8 @@ def measure(batch, t_size, hidden, mlp_size, num_layers, n_steps=32,
         # faster at this scale (BENCH_NOTES §1b).
         loss, g_gen, g_disc = G.gan_grads(gen, disc,
                                           jax.random.fold_in(key, step_idx),
-                                          ts, batch_data, adjoint=False)
+                                          ts, batch_data, adjoint=False,
+                                          fused=fused)
         ug, sg = opt_g.update(g_gen, sg, gen)
         gen = optax.apply_updates(gen, ug)
         ud, sd = opt_d.update(g_disc, sd, disc)
@@ -72,7 +73,7 @@ def measure(batch, t_size, hidden, mlp_size, num_layers, n_steps=32,
         packed, loss = step(packed, jnp.int32(i + 1))
     float(loss)
     sps = n_steps / (time.perf_counter() - t0)
-    return dict(batch=batch, t_size=t_size, hidden=hidden,
+    return dict(batch=batch, t_size=t_size, hidden=hidden, fused=fused,
                 steps_per_sec=round(sps, 2),
                 samples_per_sec=round(sps * batch, 1),
                 device=jax.devices()[0].platform)
@@ -90,6 +91,9 @@ def main():
                 dict(batch=256, t_size=32, hidden=16, mlp_size=16,
                      num_layers=1)):
         print(json.dumps(measure(platform=platform, **cfg)))
+        if not args.cpu:
+            # Whole-solve Pallas kernels (ops/gan_fused.py), TPU only.
+            print(json.dumps(measure(platform=platform, fused=True, **cfg)))
 
 
 if __name__ == "__main__":

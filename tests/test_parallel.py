@@ -110,3 +110,53 @@ def test_tp_dp_2d_mesh_train_step():
     # parameters keep their TP sharding through the update
     w_out = model_out.f_net.layers[0].w
     assert w_out.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+
+
+def test_fused_latent_solve_under_shard_map():
+    """The whole-solve Pallas kernels (ops/latent_fused.py) compose with DP
+    via jax.shard_map: each shard runs the kernel on its batch slice with a
+    shard-local noise key (fold_in on axis_index — SURVEY §2.8's
+    'shard-local by construction' commitment). Interpret mode on the virtual
+    CPU mesh; the driver's real-mesh path is dryrun_multichip."""
+    import torchsde_tpu.ops.latent_fused as LF
+    from torchsde_tpu.models.latent_sde import LatentSDE
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    old = LF._INTERPRET
+    LF._INTERPRET = True
+    try:
+        key = jax.random.PRNGKey(0)
+        B, T = 16, 6
+        model = LatentSDE(key, 3, 4, 16, 32)
+        ts = np.linspace(0.0, 1.0, T)
+        xs = jax.random.normal(jax.random.fold_in(key, 1), (T, B, 3),
+                               jnp.float32)
+        m = model.contextualize(ts, model.encode(xs, jnp.asarray(ts,
+                                                                 jnp.float32)))
+        z0 = jax.random.normal(jax.random.fold_in(key, 2), (B, 4),
+                               jnp.float32)
+        nkey = jax.random.PRNGKey(7)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+        def solve_shard(ctx, z0s):
+            shard_key = jax.random.fold_in(nkey, jax.lax.axis_index("data"))
+            mm = m.evolve(_ctx=ctx)
+            return LF.latent_logqp_solve_fused(mm, z0s, ts, shard_key,
+                                               1.0 / 32)
+
+        sharded = jax.shard_map(solve_shard, mesh=mesh,
+                                in_specs=(P(None, "data", None),
+                                          P("data", None)),
+                                out_specs=(P(None, "data", None),
+                                           P(None, "data")),
+                                check_vma=False)
+        zs, kl = jax.jit(sharded)(m._ctx, z0)
+        assert zs.shape == (T, B, 4) and kl.shape == (T - 1, B)
+        assert bool(jnp.all(jnp.isfinite(zs)))
+        # shard-local keys: different shards see different noise, so their
+        # trajectories from identical initial states must differ
+        z0_same = jnp.tile(z0[:2], (8, 1))
+        zs2, _ = jax.jit(sharded)(jnp.tile(m._ctx[:, :2], (1, 8, 1)), z0_same)
+        assert not bool(jnp.allclose(zs2[-1, 0], zs2[-1, 2]))
+    finally:
+        LF._INTERPRET = old
