@@ -30,6 +30,8 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--save", type=str, default=None,
                    help="checkpoint path to save the trained model")
+    p.add_argument("--fused", action="store_true",
+                   help="whole-solve Pallas kernels (TPU; needs --no-adjoint)")
     p.add_argument("--restore", type=str, default=None,
                    help="checkpoint path to restore before training")
     args = p.parse_args()
@@ -63,7 +65,8 @@ def main():
         def lf(m):
             return latent_sde_loss(m, xs, ts, key, dt=args.dt,
                                    kl_weight=kl_weight,
-                                   adjoint=not args.no_adjoint)
+                                   adjoint=not args.no_adjoint,
+                                   fused=args.fused)
         (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(model)
         updates, opt_state = opt.update(grads, opt_state, model)
         return optax.apply_updates(model, updates), opt_state, loss, aux

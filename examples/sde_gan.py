@@ -31,6 +31,8 @@ def main():
     p.add_argument("--weight-decay", type=float, default=0.01)
     p.add_argument("--swa-step-start", type=int, default=100)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="whole-solve Pallas kernels (TPU)")
     args = p.parse_args()
 
     import jax
@@ -63,7 +65,9 @@ def main():
 
     @jax.jit
     def train_step(gen, disc, sg, sd, key, batch):
-        loss, g_gen, g_disc = G.gan_grads(gen, disc, key, ts, batch)
+        loss, g_gen, g_disc = G.gan_grads(gen, disc, key, ts, batch,
+                                          adjoint=not args.fused,
+                                          fused=args.fused)
         ug, sg = opt_g.update(g_gen, sg, gen)
         gen = optax.apply_updates(gen, ug)
         ud, sd = opt_d.update(g_disc, sd, disc)
