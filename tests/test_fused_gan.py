@@ -111,3 +111,66 @@ def test_cde_knot_time_guard(setup):
         _path_ts=jnp.asarray(ts, jnp.float32) * 2.0, _path_ys=real)
     with pytest.raises(ValueError):
         GF.cde_final_state_fused(bad, h0, ts, 1.0)
+
+
+def test_gen_solve_full_vjp_including_noise(setup):
+    """VJP of the raw fused solve vs a plain-XLA lax.scan of the SAME
+    recurrence, for ALL inputs — including the noise cotangent, which the
+    gan_loss tests never exercise (noise is key-derived there). Catches
+    stream-indexing bugs that interpret mode can hide (e.g. the r1
+    out-of-bounds g_n block map)."""
+    key, B, ts, gen, _, _ = setup
+    func = gen.func
+    S, m = 16, 3
+    N = len(ts) - 1
+    x0 = jax.random.normal(jax.random.fold_in(key, 7), (B, S), jnp.float32)
+    noise = jax.random.normal(jax.random.fold_in(key, 8), (N, B, m),
+                              jnp.float32)
+    t1s = jnp.asarray(ts[1:], jnp.float32)
+    dts = jnp.asarray(np.diff(ts), jnp.float32)
+    weights = GF.pack_gen_weights(func)
+    f0, g0 = func.f_and_g(jnp.float32(ts[0]), x0)
+    g0 = g0.reshape(B, S * m)
+
+    def xla_ref(weights, x0, f0, g0, noise, t1s, dts):
+        def towers(t, z):
+            zin = jnp.concatenate(
+                [jnp.full((B, 1), t), z,
+                 jnp.zeros((B, GF._LANE - 1 - S), z.dtype)], axis=1)
+            f, _, _ = GF._tower_fwd(zin, weights["W1f"], weights["b1f"],
+                                    weights["W2f"], weights["b2f"])
+            g, _, _ = GF._tower_fwd(zin, weights["W1g"], weights["b1g"],
+                                    weights["W2g"], weights["b2g"])
+            return f[:, :S], g[:, :S * m]
+
+        def step(carry, inp):
+            x, z, f0c, g0c = carry
+            dW, t1, dt = inp
+            g0dW = jnp.einsum("bij,bj->bi", g0c.reshape(B, S, m), dW)
+            z1 = 2 * x - z + dt * f0c + g0dW
+            f1, g1 = towers(t1, z1)
+            gsum = (g0c + g1).reshape(B, S, m)
+            x1 = (x + 0.5 * dt * (f0c + f1)
+                  + 0.5 * jnp.einsum("bij,bj->bi", gsum, dW))
+            return (x1, z1, f1, g1), x1
+
+        _, ys = jax.lax.scan(step, (x0, x0, f0, g0), (noise, t1s, dts))
+        return ys
+
+    args = (weights, x0, f0, g0, noise, t1s, dts)
+    ys_f, vjp_f = jax.vjp(GF._gen_solve, *args)
+    ys_r, vjp_r = jax.vjp(xla_ref, *args)
+    np.testing.assert_allclose(ys_f, ys_r, atol=1e-5)
+
+    gy = jax.random.normal(jax.random.fold_in(key, 9), ys_r.shape,
+                           jnp.float32)
+    cots_f = vjp_f(gy)
+    cots_r = vjp_r(gy)
+    names = ("weights", "x0", "f0", "g0", "noise", "t1s", "dts")
+    for name, cf, cr in zip(names, cots_f, cots_r):
+        if name in ("t1s", "dts"):
+            continue  # declared non-differentiable in the fused path
+        d = _max_tree_diff(cf, cr)
+        scale = max((float(jnp.max(jnp.abs(x)))
+                     for x in jax.tree_util.tree_leaves(cr)), default=0.0)
+        assert d <= max(1e-4, 1e-5 * max(scale, 1.0)), (name, d, scale)

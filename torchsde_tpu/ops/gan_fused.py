@@ -313,9 +313,6 @@ def _gen_solve_bwd_impl(weights, x0, f0, g0, noise, t1s, dts, zs, gs, gy,
                                   memory_space=pltpu.VMEM)
     step = lambda d: pl.BlockSpec((1, B, d), lambda i: (i, 0, 0),  # noqa: E731
                                   memory_space=pltpu.VMEM)
-    stepp1 = lambda d: pl.BlockSpec((1, B, d),                     # noqa: E731
-                                    lambda i: (i + 1, 0, 0),
-                                    memory_space=pltpu.VMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     wshapes = [jax.ShapeDtypeStruct((_LANE, _LANE), x0.dtype)
                if weights[k].ndim == 2 and weights[k].shape[0] == _LANE
@@ -324,7 +321,8 @@ def _gen_solve_bwd_impl(weights, x0, f0, g0, noise, t1s, dts, zs, gs, gy,
     out = pl.pallas_call(
         kernel,
         grid=(N,),
-        in_specs=[step(S), step(m), step(S), step(S * m), stepp1(S * m),
+        # fa[:-1] block r = fa[r] = g_{n+1}; fa[1:] block r = fa[r+1] = g_n.
+        in_specs=[step(S), step(m), step(S), step(S * m), step(S * m),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [vmem] * 8 + [vmem, vmem, vmem],
