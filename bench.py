@@ -58,6 +58,18 @@ def bench_ours(platform=None, adjoint=False):
     # this config (BENCH_NOTES §1b). The CPU fallback keeps the XLA path
     # (the kernel would need the slow Pallas interpreter there).
     fused = not adjoint and jax.devices()[0].platform != "cpu"
+    if fused:
+        try:  # probe the kernel once; fall back to the XLA path on failure
+            ksmall = jax.random.PRNGKey(0)
+            small = LatentSDE(ksmall, DATA, LATENT, CTX, HIDDEN)
+            xs_s = jnp.zeros((4, 8, DATA))
+            l, _ = latent_sde_loss(small, xs_s, jnp.linspace(0.0, 1.0, 4),
+                                   ksmall, dt=0.25, fused=True)
+            float(l)
+        except Exception as e:  # pragma: no cover
+            print(f"# fused kernel probe failed ({type(e).__name__}); "
+                  "using XLA path", file=sys.stderr)
+            fused = False
 
     def loss_fn(model, xs, key):
         loss, _ = latent_sde_loss(model, xs, ts, key, dt=DT, adjoint=adjoint,
