@@ -59,13 +59,14 @@ def bench_ours(platform=None, adjoint=False):
     # (the kernel would need the slow Pallas interpreter there).
     fused = not adjoint and jax.devices()[0].platform != "cpu"
     if fused:
-        try:  # probe the kernel once; fall back to the XLA path on failure
+        try:  # probe BOTH kernels (fwd + hand-derived bwd) once; fall back
             ksmall = jax.random.PRNGKey(0)
             small = LatentSDE(ksmall, DATA, LATENT, CTX, HIDDEN)
             xs_s = jnp.zeros((4, 8, DATA))
-            l, _ = latent_sde_loss(small, xs_s, jnp.linspace(0.0, 1.0, 4),
-                                   ksmall, dt=0.25, fused=True)
-            float(l)
+            g = jax.grad(lambda m: latent_sde_loss(
+                m, xs_s, jnp.linspace(0.0, 1.0, 4), ksmall, dt=0.25,
+                fused=True)[0])(small)
+            float(jnp.sum(g.f_net.layers[0].w))
         except Exception as e:  # pragma: no cover
             print(f"# fused kernel probe failed ({type(e).__name__}); "
                   "using XLA path", file=sys.stderr)

@@ -84,3 +84,30 @@ def test_latent_sde_loss_fused_flag(setup):
     with pytest.raises(ValueError):
         latent_sde_loss(model, xs, ts, nkey, dt=dt, fused=True,
                         method="milstein")
+
+
+def test_gradients_match_with_saturated_diffusion(setup):
+    """When g <= stable_division's epsilon (saturated sigmoid), only the
+    u-path gradient is clamped; the state-update term dz*dW must survive.
+    Regression test for the fused backward masking the ENTIRE diffusion
+    cotangent (code-review r4 finding)."""
+    m, _, z0, ts, _, nkey, dt = setup
+    w1, b1, w2, b2 = m.g_nets
+    m_sat = m.evolve(g_nets=(w1, b1, w2, b2 - 25.0))  # sigmoid ~ 1e-11
+
+    def loss(solver, model, z0):
+        zs, kl = solver(model, z0)
+        return jnp.sum(zs ** 2) + jnp.sum(jnp.mean(kl, axis=1))
+
+    xla = lambda model, z0: sdeint(model, z0, ts, dt=dt, logqp=True,  # noqa: E731
+                                   key=nkey, method="euler")
+    fus = lambda model, z0: LF.latent_logqp_solve_fused(  # noqa: E731
+        model, z0, ts, nkey, dt)
+    g_ref = jax.grad(lambda mm: loss(xla, mm, z0))(m_sat)
+    g_f = jax.grad(lambda mm: loss(fus, mm, z0))(m_sat)
+    ref_leaves = jax.tree_util.tree_leaves(g_ref.g_nets)
+    got_leaves = jax.tree_util.tree_leaves(g_f.g_nets)
+    # the diffusion-net gradient must be nonzero (dz*dW path) and match
+    assert any(float(jnp.max(jnp.abs(r))) > 0 for r in ref_leaves)
+    for r, g in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(g, r, atol=1e-5)

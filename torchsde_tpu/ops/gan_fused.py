@@ -42,30 +42,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-try:
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    _HAVE_PALLAS = True
-except Exception:  # pragma: no cover
-    _HAVE_PALLAS = False
-
-_LANE = 128
+from ._pallas_common import (LANE as _LANE, cparams as _cparams,
+                             pad1 as _pad1, pad2 as _pad2, pl, pltpu)
 
 # Tests flip this to run the kernels through the Pallas interpreter on CPU.
 _INTERPRET = False
-
-
-def _cparams():
-    return (pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-            if _HAVE_PALLAS else None)
-
-
-def _pad2(w):
-    return jnp.pad(w, ((0, _LANE - w.shape[0]), (0, _LANE - w.shape[1])))
-
-
-def _pad1(b):
-    return jnp.pad(b, (0, _LANE - b.shape[0])).reshape(1, _LANE)
 
 
 def _tile_mats(s, m):

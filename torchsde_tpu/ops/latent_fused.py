@@ -32,23 +32,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
-try:
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    _HAVE_PALLAS = True
-except Exception:  # pragma: no cover
-    _HAVE_PALLAS = False
+from ._pallas_common import (LANE as _LANE, cparams as _cparams,
+                             pad1 as _pad1, pad2 as _pad2, pl, pltpu)
 
 _EPS = 1e-7   # stable_division clamp (utils/misc.py:28-36)
-_LANE = 128
-
-
-def _pad2(w, rows, cols):
-    return jnp.pad(w, ((0, rows - w.shape[0]), (0, cols - w.shape[1])))
-
-
-def _pad1(b, cols):
-    return jnp.pad(b, (0, cols - b.shape[0])).reshape(1, cols)
 
 
 def pack_weights(model):
@@ -173,7 +160,9 @@ def _bwd_kernel(z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref,
     du = gq_ref[0] * u * dt
     df = dz * dt + du / gs
     dh = -du / gs
-    dg = (dz * dW - du * u / gs) * big.astype(z.dtype)
+    # Only the u-path is clamped by stable_division (du/dg = 0 where
+    # g <= eps); the state-update term dz*dW is NEVER masked.
+    dg = dz * dW - (du * u / gs) * big.astype(z.dtype)
 
     B = z.shape[0]
     zcols = jnp.zeros((B, _LANE - L), z.dtype)
@@ -267,8 +256,7 @@ def _fused_solve_fwd_impl(weights, z0, ctx_steps, noise, dts, interpret=None):
             pltpu.VMEM((B, L), z0.dtype),
             pltpu.VMEM((B, 1), z0.dtype),
         ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024) if _HAVE_PALLAS else None,
+        compiler_params=_cparams(),
         interpret=interpret,
     )(z0, ctx_steps, noise, dts.reshape(-1, 1),
       *[weights[k] for k in _WNAMES])
@@ -335,8 +323,7 @@ def _fused_solve_bwd_impl(weights, z0, ctx_steps, noise, dts, zs, gz, gq,
             jax.ShapeDtypeStruct((n, B, L), z0.dtype),
         ] + dw_shapes,
         scratch_shapes=[pltpu.VMEM((B, L), z0.dtype)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024) if _HAVE_PALLAS else None,
+        compiler_params=_cparams(),
         interpret=interpret,
     )(flip(z_pre), flip(ctx_steps), flip(noise), flip(dts).reshape(-1, 1),
       flip(gz), flip(ginc), *[weights[k] for k in _WNAMES])
