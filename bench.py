@@ -87,17 +87,28 @@ def bench_ours(platform=None, adjoint=False):
 
     # Packed training state: the model crosses the host/device boundary as
     # ONE flat buffer per iteration instead of ~35 leaf handles (~25 us of
-    # host/tunnel overhead per leaf per step) — utils/packing.py.
+    # host/tunnel overhead per leaf per step) — utils/packing.py. With the
+    # fused kernels the device step is ~7 ms, so per-dispatch tunnel overhead
+    # matters: run K=4 full train steps per dispatch inside lax.scan
+    # (within-run A/B: +7% over 1-step dispatches at this config).
     from torchsde_tpu.utils.packing import pack_train_step
     step = pack_train_step(train_step, model)
+    K = 4
+
+    def multi(packed, base):
+        def body(p, j):
+            return step._fn(p, base * K + j)
+        return jax.lax.scan(body, packed, jnp.arange(K, dtype=jnp.int32))
+
+    mstep = jax.jit(multi)
     packed = step.pack(model)
-    _, loss = step(packed, jnp.int32(0))  # compile + warmup
-    float(loss)  # forces real execution (async backend)
+    _, losses = mstep(packed, jnp.int32(0))  # compile + warmup
+    float(losses[-1])  # forces real execution (async backend)
     t0 = time.perf_counter()
     p = packed
-    for i in range(N_STEPS):
-        p, loss = step(p, jnp.int32(i))
-    float(loss)  # one fetch at the end of the dependent chain
+    for i in range(N_STEPS // K):
+        p, losses = mstep(p, jnp.int32(i))
+    float(losses[-1])  # one fetch at the end of the dependent chain
     elapsed = time.perf_counter() - t0
     return N_STEPS / elapsed, jax.devices()[0].platform
 

@@ -40,8 +40,21 @@ _EPS = 1e-7   # stable_division clamp (utils/misc.py:28-36)
 
 def pack_weights(model):
     """Pad/stack the LatentSDE drift and diffusion weights into the kernel's
-    lane-aligned layout. Differentiable (XLA slicing/padding), so gradients
-    w.r.t. the packed weights map straight back onto the model pytree."""
+    merged lane-aligned layout. Differentiable (XLA concat/pad/at-set), so
+    gradients w.r.t. the packed weights map straight back onto the model
+    pytree (structural-zero positions receive garbage gradient entries that
+    the unpack slicing simply never reads).
+
+    Merged layout (one matmul per layer "row" instead of one per tower —
+    the kernels are MXU-issue-bound, not FLOP-bound):
+
+    * ``W1all`` (LANE, 2*LANE + L*LANE): layer-1 of the f tower, h tower and
+      the block-diagonal per-dimension g nets side by side (all share the
+      same input row ``x``);
+    * ``W2fh``/``W3fh`` (2*LANE, 2*LANE): block-diagonal f/h layer 2 and 3;
+    * ``W2g`` (L*LANE, LANE): the g-net contraction, separate (different
+      input slice and a sigmoid, not softplus).
+    """
     L = model.latent_size
     fl, hl = model.f_net.layers, model.h_net.layers
     H = fl[0].w.shape[1]
@@ -61,57 +74,61 @@ def pack_weights(model):
         W2g = W2g.at[l * _LANE:l * _LANE + Hg, l].set(w2g[l, :, 0])
     b2gf = jnp.zeros((_LANE,), w1g.dtype).at[:L].set(b2g[:, 0])
 
+    def blockdiag2(wa, wb):
+        out = jnp.zeros((2 * _LANE, 2 * _LANE), wa.dtype)
+        out = out.at[:_LANE, :_LANE].set(_pad2(wa, _LANE, _LANE))
+        return out.at[_LANE:, _LANE:].set(_pad2(wb, _LANE, _LANE))
+
+    def bias2(ba, bb):
+        return jnp.concatenate([_pad1(ba, _LANE), _pad1(bb, _LANE)], axis=1)
+
     return dict(
-        W1f=_pad2(fl[0].w, _LANE, _LANE), b1f=_pad1(fl[0].b, _LANE),
-        W2f=_pad2(fl[1].w, _LANE, _LANE), b2f=_pad1(fl[1].b, _LANE),
-        W3f=_pad2(fl[2].w, _LANE, _LANE), b3f=_pad1(fl[2].b, _LANE),
-        W1h=_pad2(hl[0].w, _LANE, _LANE), b1h=_pad1(hl[0].b, _LANE),
-        W2h=_pad2(hl[1].w, _LANE, _LANE), b2h=_pad1(hl[1].b, _LANE),
-        W3h=_pad2(hl[2].w, _LANE, _LANE), b3h=_pad1(hl[2].b, _LANE),
-        W1g=W1g, b1g=b1gf.reshape(1, -1),
+        W1all=jnp.concatenate([_pad2(fl[0].w, _LANE, _LANE),
+                               _pad2(hl[0].w, _LANE, _LANE), W1g], axis=1),
+        b1all=jnp.concatenate([_pad1(fl[0].b, _LANE), _pad1(hl[0].b, _LANE),
+                               b1gf.reshape(1, -1)], axis=1),
+        W2fh=blockdiag2(fl[1].w, hl[1].w), b2fh=bias2(fl[1].b, hl[1].b),
+        W3fh=blockdiag2(fl[2].w, hl[2].w), b3fh=bias2(fl[2].b, hl[2].b),
         W2g=W2g, b2g=b2gf.reshape(1, -1),
     )
 
 
-_WNAMES = ("W1f", "b1f", "W2f", "b2f", "W3f", "b3f",
-           "W1h", "b1h", "W2h", "b2h", "W3h", "b3h",
-           "W1g", "b1g", "W2g", "b2g")
+_WNAMES = ("W1all", "b1all", "W2fh", "b2fh", "W3fh", "b3fh", "W2g", "b2g")
+_FH = 2 * _LANE    # width of the merged f/h lane block
 
 
 def _forward_core(z, ctx, w, L, C):
     """Shared forward math on VMEM values: returns (f, h, g, u) plus the
-    pre-activations/activations the backward needs."""
+    activations the backward needs. 4 matmuls per step (was 8): layer 1 of
+    all towers is ONE (B, in) @ (in, 2*LANE + L*LANE) product, f/h layers
+    2-3 are block-diagonal pairs."""
     B = z.shape[0]
     x = jnp.concatenate(
         [z, ctx, jnp.zeros((B, _LANE - L - C), z.dtype)], axis=1)
     # Backward derives softplus'(pre) = sigmoid(pre) = 1 - exp(-softplus(pre))
-    # from the ACTIVATIONS alone, so pre-activations are never materialised
-    # (VMEM: each saved (B, H) buffer is 0.5 MB at the flagship config).
-    a1f = jax.nn.softplus(
-        jnp.dot(x, w["W1f"], preferred_element_type=jnp.float32) + w["b1f"])
-    a2f = jax.nn.softplus(
-        jnp.dot(a1f, w["W2f"], preferred_element_type=jnp.float32) + w["b2f"])
-    ffull = jnp.dot(a2f, w["W3f"], preferred_element_type=jnp.float32) + w["b3f"]
-    f = ffull[:, :L]
+    # from the ACTIVATIONS alone, so pre-activations are never materialised.
+    a1all = jax.nn.softplus(
+        jnp.dot(x, w["W1all"], preferred_element_type=jnp.float32)
+        + w["b1all"])
+    a1fh = a1all[:, :_FH]
+    a1g = a1all[:, _FH:]
+    a2fh = jax.nn.softplus(
+        jnp.dot(a1fh, w["W2fh"], preferred_element_type=jnp.float32)
+        + w["b2fh"])
+    l3 = jnp.dot(a2fh, w["W3fh"], preferred_element_type=jnp.float32) \
+        + w["b3fh"]
+    f = l3[:, :L]
+    h = l3[:, _LANE:_LANE + L]
 
-    a1h = jax.nn.softplus(
-        jnp.dot(x, w["W1h"], preferred_element_type=jnp.float32) + w["b1h"])
-    a2h = jax.nn.softplus(
-        jnp.dot(a1h, w["W2h"], preferred_element_type=jnp.float32) + w["b2h"])
-    hfull = jnp.dot(a2h, w["W3h"], preferred_element_type=jnp.float32) + w["b3h"]
-    h = hfull[:, :L]
-
-    a1g = jax.nn.softplus(
-        jnp.dot(x, w["W1g"], preferred_element_type=jnp.float32) + w["b1g"])
     gfull = jax.nn.sigmoid(
-        jnp.dot(a1g, w["W2g"], preferred_element_type=jnp.float32) + w["b2g"])
+        jnp.dot(a1g, w["W2g"], preferred_element_type=jnp.float32)
+        + w["b2g"])
     g = gfull[:, :L]
 
     big = g > _EPS
     gs = jnp.where(big, g, _EPS)
     u = (f - h) / gs
-    acts = dict(x=x, a1f=a1f, a2f=a2f, a1h=a1h, a2h=a2h, a1g=a1g,
-                gfull=gfull, big=big, gs=gs)
+    acts = dict(x=x, a1all=a1all, a2fh=a2fh, gfull=gfull, big=big, gs=gs)
     return f, h, g, u, acts
 
 
@@ -152,6 +169,8 @@ def _bwd_kernel(z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref,
     dt = dts_ref[r_, 0]
     f, h, g, u, a = _forward_core(z, ctx, w, L, C)
     gs, big, gfull = a["gs"], a["big"], a["gfull"]
+    a1all, a2fh, x = a["a1all"], a["a2fh"], a["x"]
+    a1g = a1all[:, _FH:]
 
     # Incoming cotangents: gz for the post-step state, gq for this step's
     # logqp increment (already reverse-accumulated by the wrapper).
@@ -171,39 +190,34 @@ def _bwd_kernel(z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref,
         # softplus'(pre) = sigmoid(pre) = 1 - exp(-softplus(pre))
         return 1.0 - jnp.exp(-act)
 
-    def back_tower(dout, a2, a1, W3, W2, W1, names):
-        dfull = jnp.concatenate([dout, zcols], axis=1)
-        dw_refs[names[4]][...] += jnp.dot(a2.T, dfull,
-                                          preferred_element_type=jnp.float32)
-        dw_refs[names[5]][...] += jnp.sum(dfull, axis=0, keepdims=True)
-        da2 = jnp.dot(dfull, W3.T, preferred_element_type=jnp.float32)
-        dpre2 = da2 * dsoftplus(a2)
-        dw_refs[names[2]][...] += jnp.dot(a1.T, dpre2,
-                                          preferred_element_type=jnp.float32)
-        dw_refs[names[3]][...] += jnp.sum(dpre2, axis=0, keepdims=True)
-        da1 = jnp.dot(dpre2, W2.T, preferred_element_type=jnp.float32)
-        dpre1 = da1 * dsoftplus(a1)
-        dw_refs[names[0]][...] += jnp.dot(a["x"].T, dpre1,
-                                          preferred_element_type=jnp.float32)
-        dw_refs[names[1]][...] += jnp.sum(dpre1, axis=0, keepdims=True)
-        return jnp.dot(dpre1, W1.T, preferred_element_type=jnp.float32)
+    # f/h towers, merged: dl3 carries [dffull | dhfull] through the two
+    # block-diagonal layers in one matmul each.
+    dl3 = jnp.concatenate([df, zcols, dh, zcols], axis=1)       # (B, 2*LANE)
+    dw_refs["W3fh"][...] += jnp.dot(a2fh.T, dl3,
+                                    preferred_element_type=jnp.float32)
+    dw_refs["b3fh"][...] += jnp.sum(dl3, axis=0, keepdims=True)
+    da2fh = jnp.dot(dl3, w["W3fh"].T, preferred_element_type=jnp.float32)
+    dpre2fh = da2fh * dsoftplus(a2fh)
+    dw_refs["W2fh"][...] += jnp.dot(a1all[:, :_FH].T, dpre2fh,
+                                    preferred_element_type=jnp.float32)
+    dw_refs["b2fh"][...] += jnp.sum(dpre2fh, axis=0, keepdims=True)
+    da1fh = jnp.dot(dpre2fh, w["W2fh"].T, preferred_element_type=jnp.float32)
 
-    dx = back_tower(df, a["a2f"], a["a1f"], w["W3f"], w["W2f"], w["W1f"],
-                    ("W1f", "b1f", "W2f", "b2f", "W3f", "b3f"))
-    dx += back_tower(dh, a["a2h"], a["a1h"], w["W3h"], w["W2h"], w["W1h"],
-                     ("W1h", "b1h", "W2h", "b2h", "W3h", "b3h"))
-
+    # g net (sigmoid output)
     dgfull = jnp.concatenate([dg, zcols], axis=1)
     dpre2g = dgfull * gfull * (1.0 - gfull)
-    dw_refs["W2g"][...] += jnp.dot(a["a1g"].T, dpre2g,
+    dw_refs["W2g"][...] += jnp.dot(a1g.T, dpre2g,
                                    preferred_element_type=jnp.float32)
     dw_refs["b2g"][...] += jnp.sum(dpre2g, axis=0, keepdims=True)
     da1g = jnp.dot(dpre2g, w["W2g"].T, preferred_element_type=jnp.float32)
-    dpre1g = da1g * dsoftplus(a["a1g"])
-    dw_refs["W1g"][...] += jnp.dot(a["x"].T, dpre1g,
-                                   preferred_element_type=jnp.float32)
-    dw_refs["b1g"][...] += jnp.sum(dpre1g, axis=0, keepdims=True)
-    dx += jnp.dot(dpre1g, w["W1g"].T, preferred_element_type=jnp.float32)
+
+    # merged layer 1
+    da1all = jnp.concatenate([da1fh, da1g], axis=1)
+    dpre1all = da1all * dsoftplus(a1all)
+    dw_refs["W1all"][...] += jnp.dot(x.T, dpre1all,
+                                     preferred_element_type=jnp.float32)
+    dw_refs["b1all"][...] += jnp.sum(dpre1all, axis=0, keepdims=True)
+    dx = jnp.dot(dpre1all, w["W1all"].T, preferred_element_type=jnp.float32)
 
     dz_s[...] = dz + dx[:, :L]
     dctx_ref[0] = dx[:, L:L + C]
