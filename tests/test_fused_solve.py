@@ -1,0 +1,185 @@
+"""Generic whole-solve fused kernels (ops/fused_solve.py) vs sdeint.
+
+Interpret-mode validation that `fused_sdeint` — the declarative
+"compile your MLP-SDE to one TPU kernel" API — matches `sdeint` values and
+gradients for both step templates and both noise structures. Reference
+step algebra: euler.py:19-37 and reversible_heun.py:48-73.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchsde_tpu.ops.fused_solve as FS
+from torchsde_tpu.core.sdeint import sdeint
+from torchsde_tpu.utils.module import Module
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _interpret_mode():
+    old = FS._INTERPRET
+    FS._INTERPRET = True
+    yield
+    FS._INTERPRET = old
+
+
+def _init_tower(key, sizes, acts, scale=0.3):
+    layers = []
+    for i, (a, b) in enumerate(zip(sizes[:-1], sizes[1:])):
+        k1, k2, key = jax.random.split(key, 3)
+        # float(...) factors: a np.float64 scalar would silently promote the
+        # f32 weights to f64 under jax_enable_x64
+        w = jax.random.normal(k1, (a, b), jnp.float32) * float(
+            scale / np.sqrt(a))
+        bb = jax.random.normal(k2, (b,), jnp.float32) * 0.05
+        layers.append((w, bb, acts[i]))
+    return FS.TowerSpec(layers)
+
+
+def _apply_tower(spec, x):
+    h = x
+    for (w, b, act) in spec.layers:
+        h = FS._apply_act(h @ w + b, act)
+    return h
+
+
+class TowerSDE(Module):
+    """An SDE whose f/g evaluate exactly the declared towers, so the fused
+    solve must match sdeint bit-for-bit in structure (same noise key)."""
+
+    def __init__(self, drift, diffusion, noise_type, sde_type, d, m,
+                 with_time):
+        self.noise_type = noise_type
+        self.sde_type = sde_type
+        self.fw = [w for (w, _, _) in drift.layers]
+        self.fb = [b for (_, b, _) in drift.layers]
+        self.gw = [w for (w, _, _) in diffusion.layers]
+        self.gb = [b for (_, b, _) in diffusion.layers]
+        self._facts = drift.acts
+        self._gacts = diffusion.acts
+        self._d = d
+        self._m = m
+        self._with_time = with_time
+
+    def _x(self, t, y):
+        if not self._with_time:
+            return y
+        return jnp.concatenate(
+            [jnp.full((y.shape[0], 1), t, y.dtype), y], axis=1)
+
+    def _run(self, ws, bs, acts, x):
+        h = x
+        for w, b, act in zip(ws, bs, acts):
+            h = FS._apply_act(h @ w + b, act)
+        return h
+
+    def f(self, t, y):
+        return self._run(self.fw, self.fb, self._facts, self._x(t, y))
+
+    def g(self, t, y):
+        out = self._run(self.gw, self.gb, self._gacts, self._x(t, y))
+        if self.noise_type == "diagonal":
+            return out
+        return out.reshape(y.shape[0], self._d, self._m)
+
+
+CASES = [
+    # (method, sde_type, noise_type, d, m, with_time, depth)
+    ("euler", "ito", "diagonal", 4, 4, False, 2),
+    ("euler", "ito", "general", 3, 2, True, 3),
+    ("reversible_heun", "stratonovich", "diagonal", 4, 4, False, 2),
+    ("reversible_heun", "stratonovich", "general", 3, 2, True, 2),
+]
+
+
+@pytest.mark.parametrize("method,sde_type,noise_type,d,m,with_time,depth",
+                         CASES)
+def test_fused_sdeint_matches_sdeint(method, sde_type, noise_type, d, m,
+                                     with_time, depth):
+    key = jax.random.PRNGKey(hash((method, noise_type, d)) % 2 ** 31)
+    B, T = 8, 5
+    ts = np.linspace(0.0, 1.0, T)
+    dt = 0.25 / 2  # grid lands exactly on ts
+    in_size = d + (1 if with_time else 0)
+    gout = d if noise_type == "diagonal" else d * m
+    facts = tuple(["softplus"] * (depth - 1) + ["linear"])
+    gacts = tuple(["lipswish"] * (depth - 1) + ["sigmoid"])
+    drift = _init_tower(jax.random.fold_in(key, 1),
+                        [in_size] + [16] * (depth - 1) + [d], facts)
+    diffusion = _init_tower(jax.random.fold_in(key, 2),
+                            [in_size] + [16] * (depth - 1) + [gout], gacts)
+    sde = TowerSDE(drift, diffusion, noise_type, sde_type, d, m, with_time)
+    y0 = jax.random.normal(jax.random.fold_in(key, 3), (B, d), jnp.float32)
+    nkey = jax.random.fold_in(key, 4)
+
+    ys_ref = sdeint(sde, y0, ts, method=method, dt=dt, key=nkey)
+    ys_f = FS.fused_sdeint(drift, diffusion, y0, ts, nkey, dt, method=method,
+                           noise_type=noise_type, with_time=with_time)
+    np.testing.assert_allclose(ys_f, ys_ref, atol=2e-5)
+
+    # gradients w.r.t. tower weights and y0 via both paths (weights only —
+    # the activation strings are static)
+    def respec(params, acts):
+        return FS.TowerSpec([(w, b, a) for (w, b), a in zip(params, acts)])
+
+    def loss_ref(drift_p, diff_p, y0):
+        s = TowerSDE(respec(drift_p, facts), respec(diff_p, gacts),
+                     noise_type, sde_type, d, m, with_time)
+        return jnp.sum(sdeint(s, y0, ts, method=method, dt=dt, key=nkey) ** 2)
+
+    def loss_fus(drift_p, diff_p, y0):
+        return jnp.sum(FS.fused_sdeint(
+            respec(drift_p, facts), respec(diff_p, gacts), y0, ts, nkey, dt,
+            method=method, noise_type=noise_type, with_time=with_time) ** 2)
+
+    args = ([(w, b) for (w, b, _) in drift.layers],
+            [(w, b) for (w, b, _) in diffusion.layers], y0)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    gf = jax.grad(loss_fus, argnums=(0, 1, 2))(*args)
+    for r_tree, f_tree in zip(gr, gf):
+        rl = jax.tree_util.tree_leaves(r_tree)
+        fl = jax.tree_util.tree_leaves(f_tree)
+        scale = max((float(jnp.max(jnp.abs(x))) for x in rl), default=0.0)
+        for r, f in zip(rl, fl):
+            np.testing.assert_allclose(
+                f, r, atol=max(1e-4, 1e-5 * max(scale, 1.0)))
+
+
+def test_tower_spec_validation():
+    w = jnp.zeros((4, 4))
+    b = jnp.zeros((4,))
+    with pytest.raises(ValueError):
+        FS.TowerSpec([(w, b, "relu")])  # unsupported activation
+    with pytest.raises(ValueError):
+        FS.TowerSpec([(jnp.zeros((4, 200)), jnp.zeros((200,)), "tanh")])
+
+
+def test_fused_sdeint_grid_guard():
+    drift = FS.TowerSpec([(jnp.zeros((2, 2)), jnp.zeros((2,)), "linear")])
+    diffusion = FS.TowerSpec([(jnp.zeros((2, 2)), jnp.zeros((2,)),
+                               "sigmoid")])
+    y0 = jnp.zeros((4, 2))
+    with pytest.raises(ValueError):
+        # ts not on the dt grid
+        FS.fused_sdeint(drift, diffusion, y0, [0.0, 0.3, 1.0],
+                        jax.random.PRNGKey(0), 0.25)
+
+
+def test_grad_of_jit():
+    """grad(jit(fused_sdeint)) — regression for the tile-matrix tracer leak
+    (constants created inside an active trace must not be cached by the
+    solver factories)."""
+    key = jax.random.PRNGKey(11)
+    d, B = 3, 4
+    drift = _init_tower(jax.random.fold_in(key, 1), [d, 8, d],
+                        ("softplus", "linear"))
+    diffusion = _init_tower(jax.random.fold_in(key, 2), [d, 8, d],
+                            ("lipswish", "sigmoid"))
+    y0 = jax.random.normal(jax.random.fold_in(key, 3), (B, d), jnp.float32)
+    ts = np.linspace(0.0, 1.0, 3)
+
+    jf = jax.jit(lambda y0: FS.fused_sdeint(
+        drift, diffusion, y0, ts, jax.random.PRNGKey(9), 0.5))
+    g = jax.grad(lambda y0: jnp.sum(jf(y0) ** 2))(y0)
+    assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.max(jnp.abs(g))) > 0

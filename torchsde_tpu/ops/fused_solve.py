@@ -1,0 +1,659 @@
+"""Generic whole-solve fused kernels for MLP-tower SDEs.
+
+`latent_fused.py` and `gan_fused.py` hand-fuse the two flagship workloads.
+This module generalizes the pattern into a *framework capability*: describe
+your drift/diffusion as MLP towers (a `TowerSpec` — any depth, activations
+from {softplus, tanh, sigmoid, lipswish, linear}) and `fused_sdeint` runs
+the ENTIRE fixed-step solve as ONE `pallas_call` forward plus ONE
+hand-derived-backward `pallas_call`: state and all tower weights stay
+VMEM-resident across every solver step, per-step noise blocks stream
+HBM→VMEM, and weight gradients accumulate in VMEM.
+
+Supported step templates (reference step algebra cited per solver in
+core/solvers.py):
+
+* ``method='euler'`` with ``noise_type in {'diagonal', 'general'}``:
+  ``y1 = y0 + f(t0,y0) dt + g(t0,y0)·dW`` (reference euler.py:19-37);
+* ``method='reversible_heun'`` with ``noise_type in {'diagonal','general'}``
+  (reference reversible_heun.py:48-73), carrying ``(y, f, g, z)`` and the
+  reverse cotangent recurrence ``(ay, az, af, ag)`` derived in
+  gan_fused.py's module docstring.
+
+The noise stream matches `sdeint(..., bm=None, key=key)` bitwise (same
+BrownianInterval-keyed grid sampling, core/sdeint.py:155-162), so fused and
+XLA solves of the same key are directly comparable. Towers are recomputed
+at the streamed per-step states in the backward (no activation storage).
+The custom-VJP boundary takes the initial tower evaluations as explicit
+inputs for reversible Heun, so step-0 differentiates as ordinary XLA.
+
+Sizing: every tower in/out width and the state/noise widths must be
+<= 128 (lane-padded); towers see the zero-padded input row
+``[t? | y | 0...]`` when ``with_time=True`` (t in column 0).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ._pallas_common import LANE as _LANE
+from ._pallas_common import cparams as _cparams
+from ._pallas_common import pad1 as _pad1
+from ._pallas_common import pad2 as _pad2
+from ._pallas_common import pl, pltpu
+
+# Tests flip this to run the kernels through the Pallas interpreter on CPU.
+_INTERPRET = False
+
+_ACTS = ("softplus", "tanh", "sigmoid", "lipswish", "linear")
+
+
+class TowerSpec:
+    """Declarative MLP tower: ``[(W, b, act), ...]`` with act in
+    {softplus, tanh, sigmoid, lipswish, linear}. ``W``: (in, out) arrays.
+
+    Build from the library layers with :meth:`from_mlp` /
+    :meth:`from_lipmlp`.
+    """
+
+    def __init__(self, layers):
+        for (w, b, act) in layers:
+            if act not in _ACTS:
+                raise ValueError(f"unknown activation {act!r} (use {_ACTS})")
+            if max(w.shape) > _LANE or b.shape[0] > _LANE:
+                raise ValueError(f"tower dims must be <= {_LANE}")
+        self.layers = list(layers)
+        self.in_size = layers[0][0].shape[0]
+        self.out_size = layers[-1][0].shape[1]
+
+    @classmethod
+    def from_mlp(cls, mlp, hidden_act="softplus", final_act="linear"):
+        """From models.layers.MLP (hidden activations between Linears)."""
+        ls = mlp.layers
+        return cls([(l.w, l.b, hidden_act if i < len(ls) - 1 else final_act)
+                    for i, l in enumerate(ls)])
+
+    @classmethod
+    def from_lipmlp(cls, mlp):
+        """From models.sde_gan.LipMLP (lipswish hidden, optional tanh)."""
+        ls = mlp.layers
+        final = "tanh" if mlp.tanh else "linear"
+        return cls([(l.w, l.b, "lipswish" if i < len(ls) - 1 else final)
+                    for i, l in enumerate(ls)])
+
+    def pack(self):
+        """Padded (LANE, LANE)/(1, LANE) buffers. Differentiable (jnp.pad)."""
+        out = []
+        for (w, b, _) in self.layers:
+            out.append(_pad2(w))
+            out.append(_pad1(b))
+        return out
+
+    @property
+    def acts(self):
+        return tuple(act for (_, _, act) in self.layers)
+
+
+def _apply_act(pre, act):
+    if act == "softplus":
+        return jax.nn.softplus(pre)
+    if act == "tanh":
+        return jnp.tanh(pre)
+    if act == "sigmoid":
+        return jax.nn.sigmoid(pre)
+    if act == "lipswish":
+        return 0.909 * pre * jax.nn.sigmoid(pre)
+    return pre
+
+
+def _act_bwd(dout, pre, out, act):
+    """d pre given d out; uses pre or out, whichever is cheaper."""
+    if act == "softplus":
+        return dout * (1.0 - jnp.exp(-out))
+    if act == "tanh":
+        return dout * (1.0 - out * out)
+    if act == "sigmoid":
+        return dout * out * (1.0 - out)
+    if act == "lipswish":
+        sig = jax.nn.sigmoid(pre)
+        return dout * (0.909 * (sig + pre * sig * (1.0 - sig)))
+    return dout
+
+
+def _tower_fwd(x_pad, wrefs, acts):
+    """x_pad: (B, LANE) zero-padded input. Returns (out, cache) where cache
+    holds per-layer (pre, out); padded columns stay exactly zero for
+    softplus/tanh/sigmoid/lipswish/linear (zero-padded weights)."""
+    cache = []
+    h = x_pad
+    for i, act in enumerate(acts):
+        W, b = wrefs[2 * i][...], wrefs[2 * i + 1][...]
+        pre = jnp.dot(h, W, preferred_element_type=jnp.float32) + b
+        h = _apply_act(pre, act)
+        cache.append((pre, h))
+    return h, cache
+
+
+def _tower_bwd(dout, cache, x_pad, wrefs, acts, dwrefs):
+    """VJP of _tower_fwd; accumulates into dwrefs, returns d x_pad."""
+    d = dout
+    for i in range(len(acts) - 1, -1, -1):
+        pre, out = cache[i]
+        d = _act_bwd(d, pre, out, acts[i])
+        inp = cache[i - 1][1] if i > 0 else x_pad
+        dwrefs[2 * i][...] += jnp.dot(inp.T, d,
+                                      preferred_element_type=jnp.float32)
+        dwrefs[2 * i + 1][...] += jnp.sum(d, axis=0, keepdims=True)
+        d = jnp.dot(d, wrefs[2 * i][...].T,
+                    preferred_element_type=jnp.float32)
+    return d
+
+
+@functools.lru_cache(maxsize=64)
+def _tile_mats(s, m):
+    """0/1 matrices for (B,s,m) contractions as matmuls (row-major flatten;
+    see gan_fused._tile_mats). Returned as NUMPY arrays on purpose: the
+    solver factories cache closures over these, and a `jnp.asarray` created
+    while a jit trace is active would be a tracer — caching it leaks the
+    trace (grad-of-jit then fails lowering). np arrays convert per call."""
+    T = np.zeros((m, s * m), np.float32)
+    S = np.zeros((s * m, s), np.float32)
+    E = np.zeros((s, s * m), np.float32)
+    for i in range(s):
+        for j in range(m):
+            T[j, i * m + j] = 1.0
+            S[i * m + j, i] = 1.0
+            E[i, i * m + j] = 1.0
+    return T, S, E, np.ascontiguousarray(T.T)
+
+
+def _build_x(t, y, S, with_time):
+    B = y.shape[0]
+    cols = [y]
+    if with_time:
+        cols = [jnp.full((B, 1), t, y.dtype)] + cols
+    used = S + (1 if with_time else 0)
+    cols.append(jnp.zeros((B, _LANE - used), y.dtype))
+    return jnp.concatenate(cols, axis=1)
+
+
+def _slice_dy(dx, S, with_time):
+    off = 1 if with_time else 0
+    return dx[:, off:off + S]
+
+
+# =========================================================================== #
+#  Euler                                                                      #
+# =========================================================================== #
+
+def _euler_fwd_kernel(y0_ref, noise_ref, t0s_ref, dts_ref, *rest,
+                      nf, ng, facts, gacts, S, m, diag, with_time):
+    fw = rest[:nf]
+    gw = rest[nf:nf + ng]
+    tm = rest[nf + ng]            # (Tm, Sm) consts ref pair or placeholder
+    sm = rest[nf + ng + 1]
+    ys_ref, y_s = rest[nf + ng + 2:]
+    n = pl.program_id(0)
+
+    @pl.when(n == 0)
+    def _():
+        y_s[...] = y0_ref[...]
+
+    y = y_s[...]
+    dt = dts_ref[n, 0]
+    t0 = t0s_ref[n, 0]
+    dW = noise_ref[0]
+    x = _build_x(t0, y, S, with_time)
+    fout, _ = _tower_fwd(x, fw, facts)
+    gout, _ = _tower_fwd(x, gw, gacts)
+    f = fout[:, :S]
+    if diag:
+        gdW = gout[:, :S] * dW
+    else:
+        dWt = jnp.dot(dW, tm[...], preferred_element_type=jnp.float32)
+        gdW = jnp.dot(gout[:, :S * m] * dWt, sm[...],
+                      preferred_element_type=jnp.float32)
+    y_s[...] = y + f * dt + gdW
+    ys_ref[0] = y_s[...]
+
+
+def _euler_bwd_kernel(ypre_ref, noise_ref, t0s_ref, dts_ref, gy_ref, *rest,
+                      nf, ng, facts, gacts, S, m, diag, with_time):
+    fw = rest[:nf]
+    gw = rest[nf:nf + ng]
+    tm, em, tt = rest[nf + ng], rest[nf + ng + 1], rest[nf + ng + 2]
+    outs = rest[nf + ng + 3:]
+    dy0_ref, dnoise_ref = outs[0], outs[1]
+    dfw = outs[2:2 + nf]
+    dgw = outs[2 + nf:2 + nf + ng]
+    dy_s = outs[2 + nf + ng]
+    r = pl.program_id(0)
+    n_total = pl.num_programs(0)
+
+    @pl.when(r == 0)
+    def _():
+        dy_s[...] = jnp.zeros_like(dy_s)
+        for ref in dfw + dgw:
+            ref[...] = jnp.zeros_like(ref)
+
+    y = ypre_ref[0]
+    dW = noise_ref[0]
+    dt = dts_ref[r, 0]
+    t0 = t0s_ref[r, 0]
+    dy = dy_s[...] + gy_ref[0]
+    B = dy.shape[0]
+    dtype = dy.dtype
+
+    x = _build_x(t0, y, S, with_time)
+    fout, fcache = _tower_fwd(x, fw, facts)
+    gout, gcache = _tower_fwd(x, gw, gacts)
+
+    df = dy * dt
+    if diag:
+        g = gout[:, :S]
+        dnoise_ref[0] = dy * g
+        dg = dy * dW
+        dgp = jnp.concatenate([dg, jnp.zeros((B, _LANE - S), dtype)], axis=1)
+    else:
+        gmat = gout[:, :S * m]
+        dWt = jnp.dot(dW, tm[...], preferred_element_type=jnp.float32)
+        dyE = jnp.dot(dy, em[...], preferred_element_type=jnp.float32)
+        dnoise_ref[0] = jnp.dot(dyE * gmat, tt[...],
+                                preferred_element_type=jnp.float32)[:, :m]
+        dg = dyE * dWt
+        dgp = jnp.concatenate(
+            [dg, jnp.zeros((B, _LANE - S * m), dtype)], axis=1)
+
+    dfp = jnp.concatenate([df, jnp.zeros((B, _LANE - S), dtype)], axis=1)
+    dx = _tower_bwd(dfp, fcache, x, fw, facts, dfw)
+    dx += _tower_bwd(dgp, gcache, x, gw, gacts, dgw)
+    dy_s[...] = dy + _slice_dy(dx, S, with_time)
+
+    @pl.when(r == n_total - 1)
+    def _():
+        dy0_ref[...] = dy_s[...]
+
+
+# =========================================================================== #
+#  Reversible Heun                                                            #
+# =========================================================================== #
+
+def _rh_fwd_kernel(y0_ref, f0_ref, g0_ref, noise_ref, t1s_ref, dts_ref,
+                   *rest, nf, ng, facts, gacts, S, m, diag, with_time):
+    fw = rest[:nf]
+    gw = rest[nf:nf + ng]
+    tm, sm = rest[nf + ng], rest[nf + ng + 1]
+    ys_ref, zs_ref, gs_ref, y_s, z_s, f_s, g_s = rest[nf + ng + 2:]
+    n = pl.program_id(0)
+
+    @pl.when(n == 0)
+    def _():
+        y_s[...] = y0_ref[...]
+        z_s[...] = y0_ref[...]
+        f_s[...] = f0_ref[...]
+        g_s[...] = g0_ref[...]
+
+    dt = dts_ref[n, 0]
+    t1 = t1s_ref[n, 0]
+    dW = noise_ref[0]
+    y, z, f0, g0 = y_s[...], z_s[...], f_s[...], g_s[...]
+
+    if diag:
+        g0dW = g0 * dW
+    else:
+        dWt = jnp.dot(dW, tm[...], preferred_element_type=jnp.float32)
+        g0dW = jnp.dot(g0 * dWt, sm[...],
+                       preferred_element_type=jnp.float32)
+    z1 = 2.0 * y - z + dt * f0 + g0dW
+
+    x = _build_x(t1, z1, S, with_time)
+    fout, _ = _tower_fwd(x, fw, facts)
+    gout, _ = _tower_fwd(x, gw, gacts)
+    f1 = fout[:, :S]
+    g1 = gout[:, :S] if diag else gout[:, :S * m]
+
+    if diag:
+        gsum_dW = (g0 + g1) * (0.5 * dW)
+    else:
+        gsum_dW = jnp.dot((g0 + g1) * dWt, sm[...],
+                          preferred_element_type=jnp.float32) * 0.5
+    y1 = y + 0.5 * dt * (f0 + f1) + gsum_dW
+
+    y_s[...] = y1
+    z_s[...] = z1
+    f_s[...] = f1
+    g_s[...] = g1
+    ys_ref[0] = y1
+    zs_ref[0] = z1
+    gs_ref[0] = g1
+
+
+def _rh_bwd_kernel(zs_ref, noise_ref, gy_ref, gnext_ref, gcur_ref,
+                   t1s_ref, dts_ref, *rest,
+                   nf, ng, facts, gacts, S, m, diag, with_time):
+    fw = rest[:nf]
+    gw = rest[nf:nf + ng]
+    tm, em, tt = rest[nf + ng], rest[nf + ng + 1], rest[nf + ng + 2]
+    outs = rest[nf + ng + 3:]
+    dy0_ref, df0_ref, dg0_ref, dnoise_ref = outs[:4]
+    dfw = outs[4:4 + nf]
+    dgw = outs[4 + nf:4 + nf + ng]
+    ay_s, az_s, af_s, ag_s = outs[4 + nf + ng:]
+    r = pl.program_id(0)
+    n_total = pl.num_programs(0)
+
+    @pl.when(r == 0)
+    def _():
+        ay_s[...] = jnp.zeros_like(ay_s)
+        az_s[...] = jnp.zeros_like(az_s)
+        af_s[...] = jnp.zeros_like(af_s)
+        ag_s[...] = jnp.zeros_like(ag_s)
+        for ref in dfw + dgw:
+            ref[...] = jnp.zeros_like(ref)
+
+    dt = dts_ref[r, 0]
+    t1 = t1s_ref[r, 0]
+    dW = noise_ref[0]
+    z1 = zs_ref[0]
+    g1 = gnext_ref[0]
+    g0 = gcur_ref[0]
+    gwidth = S if diag else S * m
+    B = z1.shape[0]
+    dtype = z1.dtype
+
+    ay = ay_s[...] + gy_ref[0]
+    Af = af_s[...] + 0.5 * dt * ay
+    if diag:
+        Ag = ag_s[...] + ay * (0.5 * dW)
+    else:
+        dWt = jnp.dot(dW, tm[...], preferred_element_type=jnp.float32)
+        ayE = jnp.dot(ay, em[...], preferred_element_type=jnp.float32)
+        Ag = ag_s[...] + 0.5 * ayE * dWt
+
+    x = _build_x(t1, z1, S, with_time)
+    fout, fcache = _tower_fwd(x, fw, facts)
+    gout, gcache = _tower_fwd(x, gw, gacts)
+
+    dAfp = jnp.concatenate([Af, jnp.zeros((B, _LANE - S), dtype)], axis=1)
+    dAgp = jnp.concatenate(
+        [Ag, jnp.zeros((B, _LANE - gwidth), dtype)], axis=1)
+    dx = _tower_bwd(dAfp, fcache, x, fw, facts, dfw)
+    dx += _tower_bwd(dAgp, gcache, x, gw, gacts, dgw)
+    Az = az_s[...] + _slice_dy(dx, S, with_time)
+
+    if diag:
+        dnoise_ref[0] = Az * g0 + 0.5 * ay * (g0 + g1)
+        ag_new = (0.5 * ay + Az) * dW
+    else:
+        AzE = jnp.dot(Az, em[...], preferred_element_type=jnp.float32)
+        dnoise_ref[0] = jnp.dot(AzE * g0 + 0.5 * ayE * (g0 + g1), tt[...],
+                                preferred_element_type=jnp.float32)[:, :m]
+        ag_new = (0.5 * ayE + AzE) * dWt
+
+    ay_s[...] = ay + 2.0 * Az
+    az_s[...] = -Az
+    af_s[...] = 0.5 * dt * ay + dt * Az
+    ag_s[...] = ag_new
+
+    @pl.when(r == n_total - 1)
+    def _():
+        dy0_ref[...] = ay_s[...] + az_s[...]
+        df0_ref[...] = af_s[...]
+        dg0_ref[...] = ag_s[...]
+
+
+# =========================================================================== #
+#  pallas_call plumbing                                                       #
+# =========================================================================== #
+
+def _specs(B):
+    full = lambda d: pl.BlockSpec((B, d), lambda i: (0, 0),       # noqa: E731
+                                  memory_space=pltpu.VMEM)
+    step = lambda d: pl.BlockSpec((1, B, d), lambda i: (i, 0, 0),  # noqa: E731
+                                  memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return full, step, smem, vmem
+
+
+@functools.lru_cache(maxsize=64)
+def _make_euler(facts, gacts, S, m, diag, with_time, dtype):
+    nf, ng = 2 * len(facts), 2 * len(gacts)
+    Tm, Sm, Em, Tt = _tile_mats(S, m)
+    kw = dict(nf=nf, ng=ng, facts=facts, gacts=gacts, S=S, m=m, diag=diag,
+              with_time=with_time)
+
+    def fwd_impl(fw, gw, y0, noise, t0s, dts, interpret=None):
+        interpret = _INTERPRET if interpret is None else interpret
+        N, B, _ = noise.shape
+        full, step, smem, vmem = _specs(B)
+        out = pl.pallas_call(
+            functools.partial(_euler_fwd_kernel, **kw),
+            grid=(N,),
+            in_specs=[full(S), step(m if not diag else S), smem, smem]
+            + [vmem] * (nf + ng) + [vmem, vmem],
+            out_specs=[step(S)],
+            out_shape=[jax.ShapeDtypeStruct((N, B, S), dtype)],
+            scratch_shapes=[pltpu.VMEM((B, S), dtype)],
+            compiler_params=_cparams(), interpret=interpret,
+        )(y0, noise, t0s.reshape(-1, 1), dts.reshape(-1, 1),
+          *fw, *gw, Tm, Sm)
+        return out[0]
+
+    def bwd_impl(fw, gw, y0, noise, t0s, dts, ys, gy, interpret=None):
+        interpret = _INTERPRET if interpret is None else interpret
+        N, B, _ = noise.shape
+        gy = jnp.asarray(gy, dtype)
+        y_pre = jnp.concatenate([y0[None], ys[:-1]], axis=0)
+        flip = lambda a: a[::-1]                          # noqa: E731
+        full, step, smem, vmem = _specs(B)
+        mwidth = m if not diag else S
+        dw_shapes = ([jax.ShapeDtypeStruct(w.shape, dtype) for w in fw]
+                     + [jax.ShapeDtypeStruct(w.shape, dtype) for w in gw])
+        out = pl.pallas_call(
+            functools.partial(_euler_bwd_kernel, **kw),
+            grid=(N,),
+            in_specs=[step(S), step(mwidth), smem, smem, step(S)]
+            + [vmem] * (nf + ng) + [vmem] * 3,
+            out_specs=[full(S), step(mwidth)] + [vmem] * (nf + ng),
+            out_shape=[jax.ShapeDtypeStruct((B, S), dtype),
+                       jax.ShapeDtypeStruct((N, B, mwidth), dtype)]
+            + dw_shapes,
+            scratch_shapes=[pltpu.VMEM((B, S), dtype)],
+            compiler_params=_cparams(), interpret=interpret,
+        )(flip(y_pre), flip(noise), flip(t0s).reshape(-1, 1),
+          flip(dts).reshape(-1, 1), flip(gy), *fw, *gw, Tm, Em, Tt)
+        dy0, dnoise_f = out[0], out[1]
+        dfw = list(out[2:2 + nf])
+        dgw = list(out[2 + nf:2 + nf + ng])
+        return dfw, dgw, dy0, flip(dnoise_f)
+
+    @jax.custom_vjp
+    def solve(fw, gw, y0, noise, t0s, dts):
+        return fwd_impl(fw, gw, y0, noise, t0s, dts)
+
+    def solve_fwd(fw, gw, y0, noise, t0s, dts):
+        ys = fwd_impl(fw, gw, y0, noise, t0s, dts)
+        return ys, (fw, gw, y0, noise, t0s, dts, ys)
+
+    def solve_bwd(res, gy):
+        fw, gw, y0, noise, t0s, dts, ys = res
+        dfw, dgw, dy0, dnoise = bwd_impl(fw, gw, y0, noise, t0s, dts, ys, gy)
+        return (dfw, dgw, dy0, dnoise,
+                jnp.zeros_like(t0s), jnp.zeros_like(dts))
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve
+
+
+@functools.lru_cache(maxsize=64)
+def _make_rh(facts, gacts, S, m, diag, with_time, dtype):
+    nf, ng = 2 * len(facts), 2 * len(gacts)
+    gwidth = S if diag else S * m
+    Tm, Sm, Em, Tt = _tile_mats(S, m)
+    kw = dict(nf=nf, ng=ng, facts=facts, gacts=gacts, S=S, m=m, diag=diag,
+              with_time=with_time)
+
+    def fwd_impl(fw, gw, y0, f0, g0, noise, t1s, dts, interpret=None):
+        interpret = _INTERPRET if interpret is None else interpret
+        N, B, _ = noise.shape
+        full, step, smem, vmem = _specs(B)
+        ys, zs, gs = pl.pallas_call(
+            functools.partial(_rh_fwd_kernel, **kw),
+            grid=(N,),
+            in_specs=[full(S), full(S), full(gwidth),
+                      step(m if not diag else S), smem, smem]
+            + [vmem] * (nf + ng) + [vmem, vmem],
+            out_specs=[step(S), step(S), step(gwidth)],
+            out_shape=[jax.ShapeDtypeStruct((N, B, S), dtype),
+                       jax.ShapeDtypeStruct((N, B, S), dtype),
+                       jax.ShapeDtypeStruct((N, B, gwidth), dtype)],
+            scratch_shapes=[pltpu.VMEM((B, S), dtype),
+                            pltpu.VMEM((B, S), dtype),
+                            pltpu.VMEM((B, S), dtype),
+                            pltpu.VMEM((B, gwidth), dtype)],
+            compiler_params=_cparams(), interpret=interpret,
+        )(y0, f0, g0, noise, t1s.reshape(-1, 1), dts.reshape(-1, 1),
+          *fw, *gw, Tm, Sm)
+        return ys, zs, gs
+
+    def bwd_impl(fw, gw, y0, f0, g0, noise, t1s, dts, zs, gs, gy,
+                 interpret=None):
+        interpret = _INTERPRET if interpret is None else interpret
+        N, B, _ = noise.shape
+        gy = jnp.asarray(gy, dtype)
+        gs_all = jnp.concatenate([g0[None], gs], axis=0)
+        fa = gs_all[::-1]
+        flip = lambda a: a[::-1]                          # noqa: E731
+        full, step, smem, vmem = _specs(B)
+        mwidth = m if not diag else S
+        dw_shapes = ([jax.ShapeDtypeStruct(w.shape, dtype) for w in fw]
+                     + [jax.ShapeDtypeStruct(w.shape, dtype) for w in gw])
+        out = pl.pallas_call(
+            functools.partial(_rh_bwd_kernel, **kw),
+            grid=(N,),
+            # fa[:-1] block r = g_{n+1}; fa[1:] block r = g_n (n = N-1-r)
+            in_specs=[step(S), step(mwidth), step(S), step(gwidth),
+                      step(gwidth), smem, smem]
+            + [vmem] * (nf + ng) + [vmem] * 3,
+            out_specs=[full(S), full(S), full(gwidth), step(mwidth)]
+            + [vmem] * (nf + ng),
+            out_shape=[jax.ShapeDtypeStruct((B, S), dtype),
+                       jax.ShapeDtypeStruct((B, S), dtype),
+                       jax.ShapeDtypeStruct((B, gwidth), dtype),
+                       jax.ShapeDtypeStruct((N, B, mwidth), dtype)]
+            + dw_shapes,
+            scratch_shapes=[pltpu.VMEM((B, S), dtype),
+                            pltpu.VMEM((B, S), dtype),
+                            pltpu.VMEM((B, S), dtype),
+                            pltpu.VMEM((B, gwidth), dtype)],
+            compiler_params=_cparams(), interpret=interpret,
+        )(flip(zs), flip(noise), flip(gy), fa[:-1], fa[1:],
+          flip(t1s).reshape(-1, 1), flip(dts).reshape(-1, 1),
+          *fw, *gw, Tm, Em, Tt)
+        dy0, df0, dg0, dnoise_f = out[0], out[1], out[2], out[3]
+        dfw = list(out[4:4 + nf])
+        dgw = list(out[4 + nf:4 + nf + ng])
+        return dfw, dgw, dy0, df0, dg0, flip(dnoise_f)
+
+    @jax.custom_vjp
+    def solve(fw, gw, y0, f0, g0, noise, t1s, dts):
+        ys, _, _ = fwd_impl(fw, gw, y0, f0, g0, noise, t1s, dts)
+        return ys
+
+    def solve_fwd(fw, gw, y0, f0, g0, noise, t1s, dts):
+        ys, zs, gs = fwd_impl(fw, gw, y0, f0, g0, noise, t1s, dts)
+        return ys, (fw, gw, y0, f0, g0, noise, t1s, dts, zs, gs)
+
+    def solve_bwd(res, gy):
+        fw, gw, y0, f0, g0, noise, t1s, dts, zs, gs = res
+        dfw, dgw, dy0, df0, dg0, dnoise = bwd_impl(
+            fw, gw, y0, f0, g0, noise, t1s, dts, zs, gs, gy)
+        return (dfw, dgw, dy0, df0, dg0, dnoise,
+                jnp.zeros_like(t1s), jnp.zeros_like(dts))
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve
+
+
+# =========================================================================== #
+#  Public API                                                                 #
+# =========================================================================== #
+
+def fused_sdeint(drift, diffusion, y0, ts, key, dt, method="euler",
+                 noise_type="diagonal", with_time=False):
+    """Whole-solve fused `sdeint` for MLP-tower SDEs.
+
+    ``drift``/``diffusion``: :class:`TowerSpec`; the diffusion tower's
+    output is ``(B, d)`` for diagonal noise or the row-major flattening of
+    ``(B, d, m)`` for general noise. ``with_time=True`` feeds ``t`` as the
+    towers' first input column (time-dependent vector fields).
+
+    Matches ``sdeint(sde, y0, ts, method=method, dt=dt, key=key)`` bitwise
+    in the noise stream and to float tolerance in values/gradients, for
+    SDEs whose ``f``/``g`` evaluate exactly these towers on ``[t? | y]``.
+    Fixed-step only, and the step grid must land on ``ts`` exactly (each
+    output time a multiple of ``dt`` from ``t0``); output interpolation
+    stays outside the kernels, as ordinary XLA.
+    """
+    from ..brownian.interval import BrownianInterval
+    from ..core import integrate
+
+    if method not in ("euler", "reversible_heun"):
+        raise ValueError("fused_sdeint supports euler / reversible_heun")
+    if noise_type not in ("diagonal", "general"):
+        raise ValueError("fused_sdeint supports diagonal / general noise")
+    diag = noise_type == "diagonal"
+    S = y0.shape[1]
+    B = y0.shape[0]
+    if diag:
+        if diffusion.out_size != S:
+            raise ValueError("diagonal diffusion tower must output d")
+        m = S
+    else:
+        if diffusion.out_size % S:
+            raise ValueError("general diffusion tower must output d*m")
+        m = diffusion.out_size // S
+
+    wdtype = drift.layers[0][0].dtype
+    # Noise is sampled in the USER's y0 dtype — exactly what
+    # sdeint(..., bm=None) does (the stream is dtype-dependent) — then cast
+    # to the kernels' compute dtype.
+    noise_dtype = jnp.result_type(y0)
+    y0 = jnp.asarray(y0, wdtype)
+    ts_np = np.asarray(ts, np.float64)
+    grid = integrate.build_step_grid(ts_np[0], ts_np[-1], dt)
+    idx = np.searchsorted(grid, ts_np)
+    idx = np.clip(idx, 0, len(grid) - 1)
+    if not np.allclose(grid[idx], ts_np, atol=1e-9):
+        raise ValueError("fused_sdeint requires every output time to lie on "
+                         "the dt step grid")
+
+    inner = BrownianInterval(t0=float(ts_np[0]), t1=float(ts_np[-1]),
+                             size=(B, m), dtype=noise_dtype, key=key)
+    W, _, _ = integrate.sample_grid_noise(inner._key, grid, (B, m),
+                                          noise_dtype)
+    W = jnp.asarray(W, wdtype)
+
+    fw, gw = drift.pack(), diffusion.pack()
+    t_lo = jnp.asarray(grid[:-1], wdtype)
+    t_hi = jnp.asarray(grid[1:], wdtype)
+    dts = jnp.asarray(np.diff(grid), wdtype)
+
+    if method == "euler":
+        solve = _make_euler(drift.acts, diffusion.acts, S, m, diag,
+                            with_time, wdtype)
+        ys = solve(fw, gw, y0, W, t_lo, dts)
+    else:
+        x0 = _build_x(jnp.asarray(ts_np[0], wdtype), y0, S, with_time)
+        f0 = _tower_fwd(x0, [jnp.asarray(a) for a in fw], drift.acts)[0][:, :S]
+        gwidth = S if diag else S * m
+        g0 = _tower_fwd(x0, [jnp.asarray(a) for a in gw],
+                        diffusion.acts)[0][:, :gwidth]
+        solve = _make_rh(drift.acts, diffusion.acts, S, m, diag,
+                         with_time, wdtype)
+        ys = solve(fw, gw, y0, f0, g0, W, t_hi, dts)
+
+    ys_full = jnp.concatenate([y0[None], ys], axis=0)
+    return ys_full[idx]
