@@ -1,0 +1,100 @@
+"""Generic fused_sdeint (ops/fused_solve.py) vs the XLA sdeint scan path.
+
+Times a representative MLP-tower SDE at several scales with both step
+templates on the real TPU. Run: ``python -m benchmarks.fused_solve_bench``.
+Numbers recorded in BENCH_NOTES.md §1a-ter.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import torchsde_tpu.ops.fused_solve as FS
+from torchsde_tpu.core.sdeint import sdeint
+from torchsde_tpu.utils.module import Module
+
+
+class TowerSDE(Module):
+    def __init__(self, drift, diffusion, noise_type, sde_type):
+        self.noise_type = noise_type
+        self.sde_type = sde_type
+        self.fw = [w for (w, _, _) in drift.layers]
+        self.fb = [b for (_, b, _) in drift.layers]
+        self.gw = [w for (w, _, _) in diffusion.layers]
+        self.gb = [b for (_, b, _) in diffusion.layers]
+        self._facts = drift.acts
+        self._gacts = diffusion.acts
+
+    def _run(self, ws, bs, acts, x):
+        h = x
+        for w, b, act in zip(ws, bs, acts):
+            h = FS._apply_act(h @ w + b, act)
+        return h
+
+    def f(self, t, y):
+        return self._run(self.fw, self.fb, self._facts, y)
+
+    def g(self, t, y):
+        return self._run(self.gw, self.gb, self._gacts, y)
+
+
+def _tower(key, sizes, acts):
+    layers = []
+    for i, (a, b) in enumerate(zip(sizes[:-1], sizes[1:])):
+        k1, key = jax.random.split(key)
+        w = jax.random.normal(k1, (a, b), jnp.float32) * float(0.3 / a ** 0.5)
+        layers.append((w, jnp.zeros((b,), jnp.float32), acts[i]))
+    return FS.TowerSpec(layers)
+
+
+def chain(fn, n=24):
+    s = fn(jnp.float32(0.0))
+    float(s)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        s = fn(s)
+    float(s)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def measure(method, B, d, hidden, n_steps):
+    key = jax.random.PRNGKey(0)
+    sde_type = "ito" if method == "euler" else "stratonovich"
+    drift = _tower(jax.random.fold_in(key, 1), [d, hidden, d],
+                   ("softplus", "linear"))
+    diffusion = _tower(jax.random.fold_in(key, 2), [d, hidden, d],
+                       ("lipswish", "sigmoid"))
+    sde = TowerSDE(drift, diffusion, "diagonal", sde_type)
+    y0 = jax.random.normal(jax.random.fold_in(key, 3), (B, d), jnp.float32)
+    ts = np.linspace(0.0, 1.0, 9)
+    dt = 1.0 / n_steps
+    nkey = jax.random.fold_in(key, 4)
+
+    def mkloss(solver):
+        return jax.jit(lambda s: jnp.sum(
+            jax.grad(lambda y: jnp.sum(solver(y + 0 * s) ** 2))(y0)))
+
+    xla = lambda y: sdeint(sde, y, ts, method=method, dt=dt,  # noqa: E731
+                           key=nkey)
+    fus = lambda y: FS.fused_sdeint(drift, diffusion, y, ts, nkey,  # noqa: E731
+                                    dt, method=method)
+    t_xla = chain(mkloss(xla))
+    t_fus = chain(mkloss(fus))
+    return dict(method=method, batch=B, d=d, hidden=hidden, steps=n_steps,
+                xla_grad_ms=round(t_xla, 2), fused_grad_ms=round(t_fus, 2),
+                speedup=round(t_xla / t_fus, 2))
+
+
+def main():
+    for cfg in (dict(method="euler", B=1024, d=8, hidden=64, n_steps=128),
+                dict(method="euler", B=4096, d=32, hidden=128, n_steps=128),
+                dict(method="reversible_heun", B=1024, d=8, hidden=64,
+                     n_steps=128)):
+        print(json.dumps(measure(**cfg)))
+
+
+if __name__ == "__main__":
+    main()
