@@ -49,13 +49,21 @@ def measure(batch, size, base_ch, ch_mults, sample_dt, n_steps=32,
     from torchsde_tpu.utils.packing import pack_train_step
     state0 = (sde, opt.init(sde))
     step = pack_train_step(train_step, state0)
+    K = 4  # train steps per dispatch (bench.py methodology)
+
+    @jax.jit
+    def multi(packed, base):
+        def body(p, j):
+            return step._fn(p, base * K + j)
+        return jax.lax.scan(body, packed, jnp.arange(K, dtype=jnp.int32))
+
     packed = step.pack(state0)
-    packed, loss = step(packed, jnp.int32(0))  # warmup
-    float(loss)
+    packed, losses = multi(packed, jnp.int32(0))  # warmup
+    float(losses[-1])
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        packed, loss = step(packed, jnp.int32(i + 1))
-    float(loss)
+    for i in range(n_steps // K):
+        packed, losses = multi(packed, jnp.int32(i + 1))
+    float(losses[-1])
     train_sps = n_steps / (time.perf_counter() - t0)
 
     # Reverse-SDE sampling: euler with dt=sample_dt over [t0, t1]

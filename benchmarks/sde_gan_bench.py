@@ -61,17 +61,28 @@ def measure(batch, t_size, hidden, mlp_size, num_layers, n_steps=32,
         return (gen, disc, sg, sd), loss
 
     # Packed training state: gen+disc+optimizer states cross the host/device
-    # boundary as ONE flat buffer (~200 leaf handles otherwise; utils/packing).
+    # boundary as ONE flat buffer (~200 leaf handles otherwise; utils/packing)
+    # — and K=4 full train steps run per dispatch inside lax.scan (the step
+    # is ~4 ms with fused kernels, so per-dispatch tunnel overhead matters;
+    # same methodology as bench.py).
     from torchsde_tpu.utils.packing import pack_train_step
     state0 = (gen, disc, opt_g.init(gen), opt_d.init(disc))
     step = pack_train_step(train_step, state0)
+    K = 4
+
+    @jax.jit
+    def multi(packed, base):
+        def body(p, j):
+            return step._fn(p, base * K + j)
+        return jax.lax.scan(body, packed, jnp.arange(K, dtype=jnp.int32))
+
     packed = step.pack(state0)
-    packed, loss = step(packed, jnp.int32(0))
-    float(loss)
+    packed, losses = multi(packed, jnp.int32(0))
+    float(losses[-1])
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        packed, loss = step(packed, jnp.int32(i + 1))
-    float(loss)
+    for i in range(n_steps // K):
+        packed, losses = multi(packed, jnp.int32(i + 1))
+    float(losses[-1])
     sps = n_steps / (time.perf_counter() - t0)
     return dict(batch=batch, t_size=t_size, hidden=hidden, fused=fused,
                 steps_per_sec=round(sps, 2),
