@@ -1,11 +1,13 @@
 """SDE-GAN training throughput (the second BASELINE.md north-star workload).
 
-Times one full GAN training step — reversible-Heun generator solve
-(dt=1, adjoint_reversible_heun gradients), neural-CDE discriminator solve,
-Wasserstein objective with negated generator gradients, Adadelta updates,
-weight clipping — at the reference's sde_gan.py scale (batch 1024, t_size 64,
+Times one full GAN training step — reversible-Heun generator solve (dt=1),
+one neural-CDE critic solve over fake+real at 2x batch, Wasserstein
+objective with negated generator gradients, Adadelta updates, weight
+clipping — at the reference's sde_gan.py scale (batch 1024, t_size 64,
 reference /root/reference/examples/sde_gan.py:440 defaults) and the repo
-example's smoke scale.
+example's smoke scale. Gradients are backprop-through-solver (identical
+discrete gradients to the adjoint pair for reversible Heun, ~1.5x faster;
+BENCH_NOTES §1b); --fused rows run the whole-solve Pallas kernels.
 
 Usage: python benchmarks/sde_gan_bench.py [--cpu]. Recorded in BENCH_NOTES.md.
 """
