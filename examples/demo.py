@@ -91,7 +91,29 @@ def main():
     ys_srk = tsde.sdeint(DiagSDE(), y0, ts, method="srk", dt=1e-2, entropy=1)
     print("SRK (strong order 1.5) diagonal solve:", ys_srk.shape)
 
-    print("== 6. Batch-axis data parallelism ==")
+    print("== 6. Whole-solve kernel compilation (TPU) ==")
+    # Declare the SDE's towers and the ENTIRE solve compiles to one Pallas
+    # kernel forward + one hand-derived-backward kernel (fixed-step,
+    # euler/reversible_heun, diagonal/general noise). On CPU this demo runs
+    # the kernels through the Pallas interpreter.
+    from torchsde_tpu.ops import fused_solve as FS
+    if jax.devices()[0].platform != "tpu":
+        FS._INTERPRET = True
+    key = jax.random.PRNGKey(0)
+    w1 = jax.random.normal(key, (3, 16), jnp.float32) * 0.2
+    w2 = jax.random.normal(jax.random.fold_in(key, 1), (16, 3),
+                           jnp.float32) * 0.2
+    drift = FS.TowerSpec([(w1, jnp.zeros((16,), jnp.float32), "softplus"),
+                          (w2, jnp.zeros((3,), jnp.float32), "linear")])
+    gw = jax.random.normal(jax.random.fold_in(key, 2), (3, 3),
+                           jnp.float32) * 0.2
+    diffusion = FS.TowerSpec([(gw, jnp.zeros((3,), jnp.float32), "sigmoid")])
+    ys_fused = FS.fused_sdeint(drift, diffusion, y0,
+                               [0.0, 0.25, 0.5, 0.75, 1.0],
+                               jax.random.fold_in(key, 3), 0.25)
+    print("fused whole-solve kernel:", ys_fused.shape)
+
+    print("== 7. Batch-axis data parallelism ==")
     from torchsde_tpu.parallel import mesh as pmesh
     if len(jax.devices()) > 1:
         m = pmesh.make_mesh()
