@@ -183,3 +183,75 @@ def test_grad_of_jit():
         drift, diffusion, y0, ts, jax.random.PRNGKey(9), 0.5))
     g = jax.grad(lambda y0: jnp.sum(jf(y0) ** 2))(y0)
     assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.max(jnp.abs(g))) > 0
+
+
+class TowerSDEWithPrior(TowerSDE):
+    """TowerSDE plus a prior-drift tower (for logqp)."""
+
+    def __init__(self, drift, prior, diffusion, d, with_time):
+        super().__init__(drift, diffusion, "diagonal", "ito", d, d,
+                         with_time)
+        self.hw = [w for (w, _, _) in prior.layers]
+        self.hb = [b for (_, b, _) in prior.layers]
+        self._hacts = prior.acts
+
+    def h(self, t, y):
+        return self._run(self.hw, self.hb, self._hacts, self._x(t, y))
+
+
+@pytest.mark.parametrize("with_time", [False, True])
+def test_fused_logqp_matches_sdeint(with_time):
+    key = jax.random.PRNGKey(21 + with_time)
+    B, d, T = 8, 4, 5
+    ts = np.linspace(0.0, 1.0, T)
+    dt = 0.125
+    ins = d + (1 if with_time else 0)
+    drift = _init_tower(jax.random.fold_in(key, 1), [ins, 16, d],
+                        ("softplus", "linear"))
+    prior = _init_tower(jax.random.fold_in(key, 2), [ins, 16, d],
+                        ("softplus", "linear"))
+    diffusion = _init_tower(jax.random.fold_in(key, 3), [ins, d],
+                            ("sigmoid",))
+    sde = TowerSDEWithPrior(drift, prior, diffusion, d, with_time)
+    y0 = jax.random.normal(jax.random.fold_in(key, 4), (B, d), jnp.float32)
+    nkey = jax.random.fold_in(key, 5)
+
+    ys_ref, kl_ref = sdeint(sde, y0, ts, method="euler", dt=dt, key=nkey,
+                            logqp=True)
+    ys_f, kl_f = FS.fused_sdeint_logqp(drift, prior, diffusion, y0, ts,
+                                       nkey, dt, with_time=with_time)
+    np.testing.assert_allclose(ys_f, ys_ref, atol=2e-5)
+    np.testing.assert_allclose(kl_f, kl_ref, atol=2e-5)
+
+    def respec(params, acts):
+        return FS.TowerSpec([(w, b, a) for (w, b), a in zip(params, acts)])
+
+    facts = drift.acts
+    hacts = prior.acts
+    gacts = diffusion.acts
+
+    def loss_ref(fp, hp, gp, y0):
+        s = TowerSDEWithPrior(respec(fp, facts), respec(hp, hacts),
+                              respec(gp, gacts), d, with_time)
+        ys, kl = sdeint(s, y0, ts, method="euler", dt=dt, key=nkey,
+                        logqp=True)
+        return jnp.sum(ys ** 2) + jnp.sum(jnp.mean(kl, axis=1))
+
+    def loss_fus(fp, hp, gp, y0):
+        ys, kl = FS.fused_sdeint_logqp(
+            respec(fp, facts), respec(hp, hacts), respec(gp, gacts), y0, ts,
+            nkey, dt, with_time=with_time)
+        return jnp.sum(ys ** 2) + jnp.sum(jnp.mean(kl, axis=1))
+
+    args = ([(w, b) for (w, b, _) in drift.layers],
+            [(w, b) for (w, b, _) in prior.layers],
+            [(w, b) for (w, b, _) in diffusion.layers], y0)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    gf = jax.grad(loss_fus, argnums=(0, 1, 2, 3))(*args)
+    for r_tree, f_tree in zip(gr, gf):
+        rl = jax.tree_util.tree_leaves(r_tree)
+        fl = jax.tree_util.tree_leaves(f_tree)
+        scale = max((float(jnp.max(jnp.abs(x))) for x in rl), default=0.0)
+        for r, f in zip(rl, fl):
+            np.testing.assert_allclose(
+                f, r, atol=max(1e-4, 1e-5 * max(scale, 1.0)))

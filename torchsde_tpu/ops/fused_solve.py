@@ -657,3 +657,228 @@ def fused_sdeint(drift, diffusion, y0, ts, key, dt, method="euler",
 
     ys_full = jnp.concatenate([y0[None], ys], axis=0)
     return ys_full[idx]
+
+
+# =========================================================================== #
+#  Euler + logqp (diagonal noise, prior drift tower)                          #
+# =========================================================================== #
+
+_EPS = 1e-7   # stable_division clamp (utils/misc.py)
+
+
+def _euler_logqp_fwd_kernel(y0_ref, noise_ref, t0s_ref, dts_ref, *rest,
+                            nf, nh, ng, facts, hacts, gacts, S, with_time):
+    fw = rest[:nf]
+    hw = rest[nf:nf + nh]
+    gw = rest[nf + nh:nf + nh + ng]
+    ys_ref, qs_ref, y_s, q_s = rest[nf + nh + ng:]
+    n = pl.program_id(0)
+
+    @pl.when(n == 0)
+    def _():
+        y_s[...] = y0_ref[...]
+        q_s[...] = jnp.zeros_like(q_s)
+
+    y = y_s[...]
+    dt = dts_ref[n, 0]
+    t0 = t0s_ref[n, 0]
+    dW = noise_ref[0]
+    x = _build_x(t0, y, S, with_time)
+    f = _tower_fwd(x, fw, facts)[0][:, :S]
+    h = _tower_fwd(x, hw, hacts)[0][:, :S]
+    g = _tower_fwd(x, gw, gacts)[0][:, :S]
+    big = g > _EPS
+    gs = jnp.where(big, g, _EPS)
+    u = (f - h) / gs
+    q_s[...] = q_s[...] + 0.5 * jnp.sum(u * u, axis=1, keepdims=True) * dt
+    y_s[...] = y + f * dt + g * dW
+    ys_ref[0] = y_s[...]
+    qs_ref[0] = q_s[...]
+
+
+def _euler_logqp_bwd_kernel(ypre_ref, noise_ref, t0s_ref, dts_ref, gy_ref,
+                            gq_ref, *rest,
+                            nf, nh, ng, facts, hacts, gacts, S, with_time):
+    fw = rest[:nf]
+    hw = rest[nf:nf + nh]
+    gw = rest[nf + nh:nf + nh + ng]
+    outs = rest[nf + nh + ng:]
+    dy0_ref, dnoise_ref = outs[0], outs[1]
+    dfw = outs[2:2 + nf]
+    dhw = outs[2 + nf:2 + nf + nh]
+    dgw = outs[2 + nf + nh:2 + nf + nh + ng]
+    dy_s = outs[2 + nf + nh + ng]
+    r = pl.program_id(0)
+    n_total = pl.num_programs(0)
+
+    @pl.when(r == 0)
+    def _():
+        dy_s[...] = jnp.zeros_like(dy_s)
+        for ref in dfw + dhw + dgw:
+            ref[...] = jnp.zeros_like(ref)
+
+    y = ypre_ref[0]
+    dW = noise_ref[0]
+    dt = dts_ref[r, 0]
+    t0 = t0s_ref[r, 0]
+    B = y.shape[0]
+    dtype = y.dtype
+
+    x = _build_x(t0, y, S, with_time)
+    fout, fcache = _tower_fwd(x, fw, facts)
+    hout, hcache = _tower_fwd(x, hw, hacts)
+    gout, gcache = _tower_fwd(x, gw, gacts)
+    f, h, g = fout[:, :S], hout[:, :S], gout[:, :S]
+    big = g > _EPS
+    gs = jnp.where(big, g, _EPS)
+    u = (f - h) / gs
+
+    dy = dy_s[...] + gy_ref[0]
+    dnoise_ref[0] = dy * g
+    du = gq_ref[0] * u * dt
+    df = dy * dt + du / gs
+    dh = -du / gs
+    # stable_division clamps only the u-path gradient; the state term dy*dW
+    # is never masked (latent_fused.py / code-review r4 finding)
+    dg = dy * dW - (du * u / gs) * big.astype(dtype)
+
+    zc = jnp.zeros((B, _LANE - S), dtype)
+    dx = _tower_bwd(jnp.concatenate([df, zc], axis=1), fcache, x, fw,
+                    facts, dfw)
+    dx += _tower_bwd(jnp.concatenate([dh, zc], axis=1), hcache, x, hw,
+                     hacts, dhw)
+    dx += _tower_bwd(jnp.concatenate([dg, zc], axis=1), gcache, x, gw,
+                     gacts, dgw)
+    dy_s[...] = dy + _slice_dy(dx, S, with_time)
+
+    @pl.when(r == n_total - 1)
+    def _():
+        dy0_ref[...] = dy_s[...]
+
+
+@functools.lru_cache(maxsize=64)
+def _make_euler_logqp(facts, hacts, gacts, S, with_time, dtype):
+    nf, nh, ng = 2 * len(facts), 2 * len(hacts), 2 * len(gacts)
+    kw = dict(nf=nf, nh=nh, ng=ng, facts=facts, hacts=hacts, gacts=gacts,
+              S=S, with_time=with_time)
+
+    def fwd_impl(fw, hw, gw, y0, noise, t0s, dts, interpret=None):
+        interpret = _INTERPRET if interpret is None else interpret
+        N, B, _ = noise.shape
+        full, step, smem, vmem = _specs(B)
+        ys, qs = pl.pallas_call(
+            functools.partial(_euler_logqp_fwd_kernel, **kw),
+            grid=(N,),
+            in_specs=[full(S), step(S), smem, smem]
+            + [vmem] * (nf + nh + ng),
+            out_specs=[step(S), step(1)],
+            out_shape=[jax.ShapeDtypeStruct((N, B, S), dtype),
+                       jax.ShapeDtypeStruct((N, B, 1), dtype)],
+            scratch_shapes=[pltpu.VMEM((B, S), dtype),
+                            pltpu.VMEM((B, 1), dtype)],
+            compiler_params=_cparams(), interpret=interpret,
+        )(y0, noise, t0s.reshape(-1, 1), dts.reshape(-1, 1), *fw, *hw, *gw)
+        return ys, qs
+
+    def bwd_impl(fw, hw, gw, y0, noise, t0s, dts, ys, gy, gq,
+                 interpret=None):
+        interpret = _INTERPRET if interpret is None else interpret
+        N, B, _ = noise.shape
+        gy = jnp.asarray(gy, dtype)
+        # reverse-accumulated logqp cotangents (latent_fused methodology)
+        ginc = jnp.cumsum(jnp.asarray(gq, dtype)[::-1], axis=0)[::-1]
+        y_pre = jnp.concatenate([y0[None], ys[:-1]], axis=0)
+        flip = lambda a: a[::-1]                          # noqa: E731
+        full, step, smem, vmem = _specs(B)
+        dw_shapes = ([jax.ShapeDtypeStruct(w.shape, dtype) for w in fw]
+                     + [jax.ShapeDtypeStruct(w.shape, dtype) for w in hw]
+                     + [jax.ShapeDtypeStruct(w.shape, dtype) for w in gw])
+        out = pl.pallas_call(
+            functools.partial(_euler_logqp_bwd_kernel, **kw),
+            grid=(N,),
+            in_specs=[step(S), step(S), smem, smem, step(S), step(1)]
+            + [vmem] * (nf + nh + ng),
+            out_specs=[full(S), step(S)] + [vmem] * (nf + nh + ng),
+            out_shape=[jax.ShapeDtypeStruct((B, S), dtype),
+                       jax.ShapeDtypeStruct((N, B, S), dtype)] + dw_shapes,
+            scratch_shapes=[pltpu.VMEM((B, S), dtype)],
+            compiler_params=_cparams(), interpret=interpret,
+        )(flip(y_pre), flip(noise), flip(t0s).reshape(-1, 1),
+          flip(dts).reshape(-1, 1), flip(gy), flip(ginc), *fw, *hw, *gw)
+        dy0, dnoise_f = out[0], out[1]
+        dfw = list(out[2:2 + nf])
+        dhw = list(out[2 + nf:2 + nf + nh])
+        dgw = list(out[2 + nf + nh:2 + nf + nh + ng])
+        return dfw, dhw, dgw, dy0, flip(dnoise_f)
+
+    @jax.custom_vjp
+    def solve(fw, hw, gw, y0, noise, t0s, dts):
+        return fwd_impl(fw, hw, gw, y0, noise, t0s, dts)
+
+    def solve_fwd(fw, hw, gw, y0, noise, t0s, dts):
+        ys, qs = fwd_impl(fw, hw, gw, y0, noise, t0s, dts)
+        return (ys, qs), (fw, hw, gw, y0, noise, t0s, dts, ys)
+
+    def solve_bwd(res, cots):
+        fw, hw, gw, y0, noise, t0s, dts, ys = res
+        gy, gq = cots
+        dfw, dhw, dgw, dy0, dnoise = bwd_impl(fw, hw, gw, y0, noise, t0s,
+                                              dts, ys, gy, gq)
+        return (dfw, dhw, dgw, dy0, dnoise,
+                jnp.zeros_like(t0s), jnp.zeros_like(dts))
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve
+
+
+def fused_sdeint_logqp(drift, prior, diffusion, y0, ts, key, dt,
+                       with_time=False):
+    """Whole-solve fused Euler logqp solve for MLP-tower SDEs: the generic
+    form of the flagship latent-SDE path (SDELogqp semantics, reference
+    base_sde.py:240-307 — ``u = stable_division(f - h, g)``, KL integrand
+    ``0.5 |u|^2``). Diagonal noise only; all three towers see the same
+    ``[t? | y]`` input row.
+
+    Returns ``(ys, log_ratio)`` exactly like
+    ``sdeint(sde, y0, ts, logqp=True, method='euler')``: ``ys`` on ``ts``,
+    ``log_ratio`` the per-output-interval KL increments. The noise stream
+    matches that call bitwise (the logqp augmentation makes the default bm
+    size (B, d+1); the extra channel's increments are sampled-and-unused,
+    same as the XLA path's zero diffusion row).
+    """
+    from ..brownian.interval import BrownianInterval
+    from ..core import integrate
+
+    S = y0.shape[1]
+    B = y0.shape[0]
+    if drift.out_size != S or prior.out_size != S or diffusion.out_size != S:
+        raise ValueError("logqp towers must all output d (diagonal noise)")
+    wdtype = drift.layers[0][0].dtype
+    noise_dtype = jnp.result_type(y0)
+    y0 = jnp.asarray(y0, wdtype)
+    ts_np = np.asarray(ts, np.float64)
+    grid = integrate.build_step_grid(ts_np[0], ts_np[-1], dt)
+    idx = np.searchsorted(grid, ts_np)
+    idx = np.clip(idx, 0, len(grid) - 1)
+    if not np.allclose(grid[idx], ts_np, atol=1e-9):
+        raise ValueError("fused_sdeint_logqp requires every output time to "
+                         "lie on the dt step grid")
+
+    # Default-bm parity: sdeint's logqp wrapper augments the state with one
+    # KL channel, so its BrownianInterval has size (B, d+1).
+    inner = BrownianInterval(t0=float(ts_np[0]), t1=float(ts_np[-1]),
+                             size=(B, S + 1), dtype=noise_dtype, key=key)
+    W, _, _ = integrate.sample_grid_noise(inner._key, grid, (B, S + 1),
+                                          noise_dtype)
+    W = jnp.asarray(W[..., :S], wdtype)
+
+    fw, hw, gw = drift.pack(), prior.pack(), diffusion.pack()
+    t_lo = jnp.asarray(grid[:-1], wdtype)
+    dts = jnp.asarray(np.diff(grid), wdtype)
+    solve = _make_euler_logqp(drift.acts, prior.acts, diffusion.acts, S,
+                              with_time, wdtype)
+    ys_steps, qs_steps = solve(fw, hw, gw, y0, W, t_lo, dts)
+    q0 = jnp.zeros((B, 1), wdtype)
+    ys_full = jnp.concatenate([y0[None], ys_steps], axis=0)[idx]
+    qs_full = jnp.concatenate([q0[None], qs_steps], axis=0)[idx, :, 0]
+    return ys_full, qs_full[1:] - qs_full[:-1]
