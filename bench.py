@@ -94,23 +94,18 @@ def bench_ours(platform=None, adjoint=False):
     from torchsde_tpu.utils.packing import pack_train_step
     step = pack_train_step(train_step, model)
     K = 4
-
-    def multi(packed, base):
-        def body(p, j):
-            return step._fn(p, base * K + j)
-        return jax.lax.scan(body, packed, jnp.arange(K, dtype=jnp.int32))
-
-    mstep = jax.jit(multi)
+    mstep = step.multi(K)
+    n_timed = (N_STEPS // K) * K
     packed = step.pack(model)
     _, losses = mstep(packed, jnp.int32(0))  # compile + warmup
     float(losses[-1])  # forces real execution (async backend)
     t0 = time.perf_counter()
     p = packed
-    for i in range(N_STEPS // K):
+    for i in range(n_timed // K):
         p, losses = mstep(p, jnp.int32(i))
     float(losses[-1])  # one fetch at the end of the dependent chain
     elapsed = time.perf_counter() - t0
-    return N_STEPS / elapsed, jax.devices()[0].platform
+    return n_timed / elapsed, jax.devices()[0].platform
 
 
 def bench_ours_subprocess():

@@ -50,21 +50,16 @@ def measure(batch, size, base_ch, ch_mults, sample_dt, n_steps=32,
     state0 = (sde, opt.init(sde))
     step = pack_train_step(train_step, state0)
     K = 4  # train steps per dispatch (bench.py methodology)
-
-    @jax.jit
-    def multi(packed, base):
-        def body(p, j):
-            return step._fn(p, base * K + j)
-        return jax.lax.scan(body, packed, jnp.arange(K, dtype=jnp.int32))
-
+    multi = step.multi(K)
+    n_timed = (n_steps // K) * K
     packed = step.pack(state0)
     packed, losses = multi(packed, jnp.int32(0))  # warmup
     float(losses[-1])
     t0 = time.perf_counter()
-    for i in range(n_steps // K):
+    for i in range(n_timed // K):
         packed, losses = multi(packed, jnp.int32(i + 1))
     float(losses[-1])
-    train_sps = n_steps / (time.perf_counter() - t0)
+    train_sps = n_timed / (time.perf_counter() - t0)
 
     # Reverse-SDE sampling: euler with dt=sample_dt over [t0, t1]
     # (reference cont_ddpm.py:204-214; 1/dt denoiser evaluations per sample).

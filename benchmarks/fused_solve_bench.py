@@ -14,31 +14,6 @@ import numpy as np
 
 import torchsde_tpu.ops.fused_solve as FS
 from torchsde_tpu.core.sdeint import sdeint
-from torchsde_tpu.utils.module import Module
-
-
-class TowerSDE(Module):
-    def __init__(self, drift, diffusion, noise_type, sde_type):
-        self.noise_type = noise_type
-        self.sde_type = sde_type
-        self.fw = [w for (w, _, _) in drift.layers]
-        self.fb = [b for (_, b, _) in drift.layers]
-        self.gw = [w for (w, _, _) in diffusion.layers]
-        self.gb = [b for (_, b, _) in diffusion.layers]
-        self._facts = drift.acts
-        self._gacts = diffusion.acts
-
-    def _run(self, ws, bs, acts, x):
-        h = x
-        for w, b, act in zip(ws, bs, acts):
-            h = FS._apply_act(h @ w + b, act)
-        return h
-
-    def f(self, t, y):
-        return self._run(self.fw, self.fb, self._facts, y)
-
-    def g(self, t, y):
-        return self._run(self.gw, self.gb, self._gacts, y)
 
 
 def _tower(key, sizes, acts):
@@ -67,7 +42,7 @@ def measure(method, B, d, hidden, n_steps):
                    ("softplus", "linear"))
     diffusion = _tower(jax.random.fold_in(key, 2), [d, hidden, d],
                        ("lipswish", "sigmoid"))
-    sde = TowerSDE(drift, diffusion, "diagonal", sde_type)
+    sde = FS.tower_sde(drift, diffusion, "diagonal", sde_type)
     y0 = jax.random.normal(jax.random.fold_in(key, 3), (B, d), jnp.float32)
     ts = np.linspace(0.0, 1.0, 9)
     dt = 1.0 / n_steps

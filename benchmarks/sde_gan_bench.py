@@ -71,21 +71,16 @@ def measure(batch, t_size, hidden, mlp_size, num_layers, n_steps=32,
     state0 = (gen, disc, opt_g.init(gen), opt_d.init(disc))
     step = pack_train_step(train_step, state0)
     K = 4
-
-    @jax.jit
-    def multi(packed, base):
-        def body(p, j):
-            return step._fn(p, base * K + j)
-        return jax.lax.scan(body, packed, jnp.arange(K, dtype=jnp.int32))
-
+    multi = step.multi(K)
+    n_timed = (n_steps // K) * K
     packed = step.pack(state0)
     packed, losses = multi(packed, jnp.int32(0))
     float(losses[-1])
     t0 = time.perf_counter()
-    for i in range(n_steps // K):
+    for i in range(n_timed // K):
         packed, losses = multi(packed, jnp.int32(i + 1))
     float(losses[-1])
-    sps = n_steps / (time.perf_counter() - t0)
+    sps = n_timed / (time.perf_counter() - t0)
     return dict(batch=batch, t_size=t_size, hidden=hidden, fused=fused,
                 steps_per_sec=round(sps, 2),
                 samples_per_sec=round(sps * batch, 1),

@@ -13,7 +13,6 @@ import pytest
 
 import torchsde_tpu.ops.fused_solve as FS
 from torchsde_tpu.core.sdeint import sdeint
-from torchsde_tpu.utils.module import Module
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -44,46 +43,6 @@ def _apply_tower(spec, x):
     return h
 
 
-class TowerSDE(Module):
-    """An SDE whose f/g evaluate exactly the declared towers, so the fused
-    solve must match sdeint bit-for-bit in structure (same noise key)."""
-
-    def __init__(self, drift, diffusion, noise_type, sde_type, d, m,
-                 with_time):
-        self.noise_type = noise_type
-        self.sde_type = sde_type
-        self.fw = [w for (w, _, _) in drift.layers]
-        self.fb = [b for (_, b, _) in drift.layers]
-        self.gw = [w for (w, _, _) in diffusion.layers]
-        self.gb = [b for (_, b, _) in diffusion.layers]
-        self._facts = drift.acts
-        self._gacts = diffusion.acts
-        self._d = d
-        self._m = m
-        self._with_time = with_time
-
-    def _x(self, t, y):
-        if not self._with_time:
-            return y
-        return jnp.concatenate(
-            [jnp.full((y.shape[0], 1), t, y.dtype), y], axis=1)
-
-    def _run(self, ws, bs, acts, x):
-        h = x
-        for w, b, act in zip(ws, bs, acts):
-            h = FS._apply_act(h @ w + b, act)
-        return h
-
-    def f(self, t, y):
-        return self._run(self.fw, self.fb, self._facts, self._x(t, y))
-
-    def g(self, t, y):
-        out = self._run(self.gw, self.gb, self._gacts, self._x(t, y))
-        if self.noise_type == "diagonal":
-            return out
-        return out.reshape(y.shape[0], self._d, self._m)
-
-
 CASES = [
     # (method, sde_type, noise_type, d, m, with_time, depth)
     ("euler", "ito", "diagonal", 4, 4, False, 2),
@@ -97,7 +56,9 @@ CASES = [
                          CASES)
 def test_fused_sdeint_matches_sdeint(method, sde_type, noise_type, d, m,
                                      with_time, depth):
-    key = jax.random.PRNGKey(hash((method, noise_type, d)) % 2 ** 31)
+    import zlib
+    key = jax.random.PRNGKey(
+        zlib.crc32(f"{method}/{noise_type}/{d}".encode()) % 2 ** 31)
     B, T = 8, 5
     ts = np.linspace(0.0, 1.0, T)
     dt = 0.25 / 2  # grid lands exactly on ts
@@ -109,7 +70,8 @@ def test_fused_sdeint_matches_sdeint(method, sde_type, noise_type, d, m,
                         [in_size] + [16] * (depth - 1) + [d], facts)
     diffusion = _init_tower(jax.random.fold_in(key, 2),
                             [in_size] + [16] * (depth - 1) + [gout], gacts)
-    sde = TowerSDE(drift, diffusion, noise_type, sde_type, d, m, with_time)
+    sde = FS.tower_sde(drift, diffusion, noise_type, sde_type,
+                       with_time=with_time)
     y0 = jax.random.normal(jax.random.fold_in(key, 3), (B, d), jnp.float32)
     nkey = jax.random.fold_in(key, 4)
 
@@ -124,8 +86,8 @@ def test_fused_sdeint_matches_sdeint(method, sde_type, noise_type, d, m,
         return FS.TowerSpec([(w, b, a) for (w, b), a in zip(params, acts)])
 
     def loss_ref(drift_p, diff_p, y0):
-        s = TowerSDE(respec(drift_p, facts), respec(diff_p, gacts),
-                     noise_type, sde_type, d, m, with_time)
+        s = FS.tower_sde(respec(drift_p, facts), respec(diff_p, gacts),
+                         noise_type, sde_type, with_time=with_time)
         return jnp.sum(sdeint(s, y0, ts, method=method, dt=dt, key=nkey) ** 2)
 
     def loss_fus(drift_p, diff_p, y0):
@@ -185,20 +147,6 @@ def test_grad_of_jit():
     assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.max(jnp.abs(g))) > 0
 
 
-class TowerSDEWithPrior(TowerSDE):
-    """TowerSDE plus a prior-drift tower (for logqp)."""
-
-    def __init__(self, drift, prior, diffusion, d, with_time):
-        super().__init__(drift, diffusion, "diagonal", "ito", d, d,
-                         with_time)
-        self.hw = [w for (w, _, _) in prior.layers]
-        self.hb = [b for (_, b, _) in prior.layers]
-        self._hacts = prior.acts
-
-    def h(self, t, y):
-        return self._run(self.hw, self.hb, self._hacts, self._x(t, y))
-
-
 @pytest.mark.parametrize("with_time", [False, True])
 def test_fused_logqp_matches_sdeint(with_time):
     key = jax.random.PRNGKey(21 + with_time)
@@ -212,7 +160,8 @@ def test_fused_logqp_matches_sdeint(with_time):
                         ("softplus", "linear"))
     diffusion = _init_tower(jax.random.fold_in(key, 3), [ins, d],
                             ("sigmoid",))
-    sde = TowerSDEWithPrior(drift, prior, diffusion, d, with_time)
+    sde = FS.tower_sde(drift, diffusion, "diagonal", "ito",
+                       with_time=with_time, prior=prior)
     y0 = jax.random.normal(jax.random.fold_in(key, 4), (B, d), jnp.float32)
     nkey = jax.random.fold_in(key, 5)
 
@@ -231,8 +180,9 @@ def test_fused_logqp_matches_sdeint(with_time):
     gacts = diffusion.acts
 
     def loss_ref(fp, hp, gp, y0):
-        s = TowerSDEWithPrior(respec(fp, facts), respec(hp, hacts),
-                              respec(gp, gacts), d, with_time)
+        s = FS.tower_sde(respec(fp, facts), respec(gp, gacts),
+                         "diagonal", "ito", with_time=with_time,
+                         prior=respec(hp, hacts))
         ys, kl = sdeint(s, y0, ts, method="euler", dt=dt, key=nkey,
                         logqp=True)
         return jnp.sum(ys ** 2) + jnp.sum(jnp.mean(kl, axis=1))

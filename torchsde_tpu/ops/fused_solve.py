@@ -123,8 +123,11 @@ def _act_bwd(dout, pre, out, act):
 
 def _tower_fwd(x_pad, wrefs, acts):
     """x_pad: (B, LANE) zero-padded input. Returns (out, cache) where cache
-    holds per-layer (pre, out); padded columns stay exactly zero for
-    softplus/tanh/sigmoid/lipswish/linear (zero-padded weights)."""
+    holds per-layer (pre, out). Padded-column activations are NOT zero
+    (softplus(0)=ln2, sigmoid(0)=0.5); correctness relies on the NEXT
+    layer's zero-padded weight ROWS killing them and on every consumer
+    slicing outputs to their true width — do not sum/reuse padded
+    columns."""
     cache = []
     h = x_pad
     for i, act in enumerate(acts):
@@ -420,7 +423,12 @@ def _specs(B):
 @functools.lru_cache(maxsize=64)
 def _make_euler(facts, gacts, S, m, diag, with_time, dtype):
     nf, ng = 2 * len(facts), 2 * len(gacts)
-    Tm, Sm, Em, Tt = _tile_mats(S, m)
+    # diag kernels never read the tile matrices — pass 1x1 dummies instead
+    # of up to 24 MB of VMEM-resident constants (code-review r4)
+    if diag:
+        Tm = Sm = Em = Tt = np.zeros((1, 1), np.float32)
+    else:
+        Tm, Sm, Em, Tt = _tile_mats(S, m)
     kw = dict(nf=nf, ng=ng, facts=facts, gacts=gacts, S=S, m=m, diag=diag,
               with_time=with_time)
 
@@ -491,7 +499,10 @@ def _make_euler(facts, gacts, S, m, diag, with_time, dtype):
 def _make_rh(facts, gacts, S, m, diag, with_time, dtype):
     nf, ng = 2 * len(facts), 2 * len(gacts)
     gwidth = S if diag else S * m
-    Tm, Sm, Em, Tt = _tile_mats(S, m)
+    if diag:  # tile matrices unused by the diag branch (see _make_euler)
+        Tm = Sm = Em = Tt = np.zeros((1, 1), np.float32)
+    else:
+        Tm, Sm, Em, Tt = _tile_mats(S, m)
     kw = dict(nf=nf, ng=ng, facts=facts, gacts=gacts, S=S, m=m, diag=diag,
               with_time=with_time)
 
@@ -581,6 +592,79 @@ def _make_rh(facts, gacts, S, m, diag, with_time, dtype):
 #  Public API                                                                 #
 # =========================================================================== #
 
+def _grid_indices(grid, ts_np, caller):
+    """Nearest-grid-point index for each output time, with a tolerance that
+    survives float64 step accumulation (exact searchsorted falsely rejects
+    e.g. ts=2.1 on a dt=0.7 grid whose point is 2.0999999999999996)."""
+    idx = np.abs(np.asarray(grid)[None, :] - ts_np[:, None]).argmin(axis=1)
+    span = float(ts_np[-1] - ts_np[0]) or 1.0
+    if not np.allclose(np.asarray(grid)[idx], ts_np, atol=1e-9 * max(span, 1.0)):
+        raise ValueError(f"{caller} requires every output time to lie on "
+                         "the dt step grid")
+    return idx
+
+
+def _check_tower_io(spec, name, S, with_time, out_size=None):
+    want_in = S + (1 if with_time else 0)
+    if spec.in_size != want_in:
+        raise ValueError(
+            f"{name} tower expects input width {spec.in_size}, but the solve "
+            f"feeds {want_in} ({'[t | y]' if with_time else '[y]'})")
+    if out_size is not None and spec.out_size != out_size:
+        raise ValueError(f"{name} tower must output width {out_size}, got "
+                         f"{spec.out_size}")
+
+
+def tower_sde(drift, diffusion, noise_type, sde_type, with_time=False,
+              prior=None):
+    """A plain Module SDE whose f/g (and optional h) evaluate exactly the
+    given TowerSpecs — the XLA reference view of a fused solve, for
+    cross-checking `fused_sdeint` against `sdeint` on identical dynamics."""
+    from ..utils.module import Module
+
+    class _TowerSDE(Module):
+        def __init__(self):
+            self.noise_type = noise_type
+            self.sde_type = sde_type
+            self.fw = [w for (w, _, _) in drift.layers]
+            self.fb = [b for (_, b, _) in drift.layers]
+            self.gw = [w for (w, _, _) in diffusion.layers]
+            self.gb = [b for (_, b, _) in diffusion.layers]
+            if prior is not None:
+                self.hw = [w for (w, _, _) in prior.layers]
+                self.hb = [b for (_, b, _) in prior.layers]
+
+        def _x(self, t, y):
+            if not with_time:
+                return y
+            return jnp.concatenate(
+                [jnp.full((y.shape[0], 1), t, y.dtype), y], axis=1)
+
+        @staticmethod
+        def _run(ws, bs, acts, x):
+            h = x
+            for w, b, act in zip(ws, bs, acts):
+                h = _apply_act(h @ w + b, act)
+            return h
+
+        def f(self, t, y):
+            return self._run(self.fw, self.fb, drift.acts, self._x(t, y))
+
+        def g(self, t, y):
+            out = self._run(self.gw, self.gb, diffusion.acts, self._x(t, y))
+            if noise_type == "diagonal":
+                return out
+            d = y.shape[1]
+            return out.reshape(y.shape[0], d, out.shape[1] // d)
+
+        if prior is not None:
+            def h(self, t, y):
+                return self._run(self.hw, self.hb, prior.acts,
+                                 self._x(t, y))
+
+    return _TowerSDE()
+
+
 def fused_sdeint(drift, diffusion, y0, ts, key, dt, method="euler",
                  noise_type="diagonal", with_time=False):
     """Whole-solve fused `sdeint` for MLP-tower SDEs.
@@ -616,6 +700,9 @@ def fused_sdeint(drift, diffusion, y0, ts, key, dt, method="euler",
             raise ValueError("general diffusion tower must output d*m")
         m = diffusion.out_size // S
 
+    _check_tower_io(drift, "drift", S, with_time, out_size=S)
+    _check_tower_io(diffusion, "diffusion", S, with_time)
+
     wdtype = drift.layers[0][0].dtype
     # Noise is sampled in the USER's y0 dtype — exactly what
     # sdeint(..., bm=None) does (the stream is dtype-dependent) — then cast
@@ -624,11 +711,7 @@ def fused_sdeint(drift, diffusion, y0, ts, key, dt, method="euler",
     y0 = jnp.asarray(y0, wdtype)
     ts_np = np.asarray(ts, np.float64)
     grid = integrate.build_step_grid(ts_np[0], ts_np[-1], dt)
-    idx = np.searchsorted(grid, ts_np)
-    idx = np.clip(idx, 0, len(grid) - 1)
-    if not np.allclose(grid[idx], ts_np, atol=1e-9):
-        raise ValueError("fused_sdeint requires every output time to lie on "
-                         "the dt step grid")
+    idx = _grid_indices(grid, ts_np, "fused_sdeint")
 
     inner = BrownianInterval(t0=float(ts_np[0]), t1=float(ts_np[-1]),
                              size=(B, m), dtype=noise_dtype, key=key)
@@ -851,18 +934,15 @@ def fused_sdeint_logqp(drift, prior, diffusion, y0, ts, key, dt,
 
     S = y0.shape[1]
     B = y0.shape[0]
-    if drift.out_size != S or prior.out_size != S or diffusion.out_size != S:
-        raise ValueError("logqp towers must all output d (diagonal noise)")
+    for spec, name in ((drift, "drift"), (prior, "prior"),
+                       (diffusion, "diffusion")):
+        _check_tower_io(spec, name, S, with_time, out_size=S)
     wdtype = drift.layers[0][0].dtype
     noise_dtype = jnp.result_type(y0)
     y0 = jnp.asarray(y0, wdtype)
     ts_np = np.asarray(ts, np.float64)
     grid = integrate.build_step_grid(ts_np[0], ts_np[-1], dt)
-    idx = np.searchsorted(grid, ts_np)
-    idx = np.clip(idx, 0, len(grid) - 1)
-    if not np.allclose(grid[idx], ts_np, atol=1e-9):
-        raise ValueError("fused_sdeint_logqp requires every output time to "
-                         "lie on the dt step grid")
+    idx = _grid_indices(grid, ts_np, "fused_sdeint_logqp")
 
     # Default-bm parity: sdeint's logqp wrapper augments the state with one
     # KL channel, so its BrownianInterval has size (B, d+1).

@@ -55,6 +55,22 @@ class PackedStep:
     def __call__(self, flat, *args):
         return self._fn(flat, *args)
 
+    def multi(self, k):
+        """A jitted ``(flat, base) -> (flat, auxs)`` that runs ``k``
+        sequential steps per dispatch via ``lax.scan``, passing
+        ``base*k + j`` as the step's argument (j = 0..k-1). Amortises
+        per-dispatch host/tunnel overhead when single steps are only a few
+        ms (BENCH_NOTES §5)."""
+        fn = self._fn
+
+        def multi_fn(flat, base):
+            def body(p, j):
+                return fn(p, base * k + j)
+            return jax.lax.scan(body, flat,
+                                jnp.arange(k, dtype=jnp.int32))
+
+        return jax.jit(multi_fn)
+
 
 def pack_train_step(step_fn, example_state, jit=True):
     """Build a :class:`PackedStep` for ``step_fn(state, *args) -> (state, aux)``."""
