@@ -51,3 +51,29 @@ def test_packed_step_shape_mismatch_raises():
     step = pack_train_step(lambda m, i: (m, jnp.float32(0)), model)
     with pytest.raises(ValueError, match="packs to"):
         step.pack(other)
+
+
+def test_packed_step_multi():
+    """PackedStep.multi(k): k sequential steps per dispatch, step index
+    base*k + j, same trajectory as k single calls."""
+    import jax
+    import jax.numpy as jnp
+    from torchsde_tpu.utils.packing import pack_train_step
+
+    def stepfn(x, i):
+        return x * 0.9 + 0.1 * i, jnp.sum(x)
+
+    step = pack_train_step(stepfn, jnp.ones((4,)))
+    p0 = step.pack(jnp.ones((4,)))
+
+    p_single = p0
+    singles = []
+    for i in range(6):
+        p_single, aux = step(p_single, jnp.int32(i))
+        singles.append(aux)
+
+    m = step.multi(3)
+    p_multi, aux0 = m(p0, jnp.int32(0))
+    p_multi, aux1 = m(p_multi, jnp.int32(1))
+    assert jnp.allclose(p_multi, p_single)
+    assert jnp.allclose(jnp.concatenate([aux0, aux1]), jnp.stack(singles))
