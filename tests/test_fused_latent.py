@@ -111,3 +111,13 @@ def test_gradients_match_with_saturated_diffusion(setup):
     assert any(float(jnp.max(jnp.abs(r))) > 0 for r in ref_leaves)
     for r, g in zip(ref_leaves, got_leaves):
         np.testing.assert_allclose(g, r, atol=1e-5)
+
+
+def test_variant_architecture_rejected(setup):
+    """pack_weights must fail loudly on architectures the kernels don't
+    implement (code-review r4: a tanh f_net previously got silently wrong
+    softplus towers from the fused path)."""
+    _, model, _, ts, xs, nkey, dt = setup
+    bad = model.evolve(f_net=model.f_net.evolve(activation="tanh"))
+    with pytest.raises(ValueError):
+        latent_sde_loss(bad, xs, ts, nkey, dt=dt, fused=True)

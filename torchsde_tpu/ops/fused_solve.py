@@ -681,7 +681,6 @@ def fused_sdeint(drift, diffusion, y0, ts, key, dt, method="euler",
     output time a multiple of ``dt`` from ``t0``); output interpolation
     stays outside the kernels, as ordinary XLA.
     """
-    from ..brownian.interval import BrownianInterval
     from ..core import integrate
 
     if method not in ("euler", "reversible_heun"):
@@ -713,16 +712,16 @@ def fused_sdeint(drift, diffusion, y0, ts, key, dt, method="euler",
     grid = integrate.build_step_grid(ts_np[0], ts_np[-1], dt)
     idx = _grid_indices(grid, ts_np, "fused_sdeint")
 
-    inner = BrownianInterval(t0=float(ts_np[0]), t1=float(ts_np[-1]),
-                             size=(B, m), dtype=noise_dtype, key=key)
-    W, _, _ = integrate.sample_grid_noise(inner._key, grid, (B, m),
-                                          noise_dtype)
+    # sdeint's default-bm path samples with the BrownianInterval's _key,
+    # which is the key verbatim (brownian/interval.py:128).
+    W, _, _ = integrate.sample_grid_noise(key, grid, (B, m), noise_dtype)
     W = jnp.asarray(W, wdtype)
 
     fw, gw = drift.pack(), diffusion.pack()
-    t_lo = jnp.asarray(grid[:-1], wdtype)
-    t_hi = jnp.asarray(grid[1:], wdtype)
-    dts = jnp.asarray(np.diff(grid), wdtype)
+    grid_dev = jnp.asarray(grid, wdtype)
+    t_lo = grid_dev[:-1]
+    t_hi = grid_dev[1:]
+    dts = grid_dev[1:] - grid_dev[:-1]  # f32 subtraction, = integrate_fixed
 
     if method == "euler":
         solve = _make_euler(drift.acts, diffusion.acts, S, m, diag,
@@ -929,7 +928,6 @@ def fused_sdeint_logqp(drift, prior, diffusion, y0, ts, key, dt,
     size (B, d+1); the extra channel's increments are sampled-and-unused,
     same as the XLA path's zero diffusion row).
     """
-    from ..brownian.interval import BrownianInterval
     from ..core import integrate
 
     S = y0.shape[1]
@@ -946,15 +944,14 @@ def fused_sdeint_logqp(drift, prior, diffusion, y0, ts, key, dt,
 
     # Default-bm parity: sdeint's logqp wrapper augments the state with one
     # KL channel, so its BrownianInterval has size (B, d+1).
-    inner = BrownianInterval(t0=float(ts_np[0]), t1=float(ts_np[-1]),
-                             size=(B, S + 1), dtype=noise_dtype, key=key)
-    W, _, _ = integrate.sample_grid_noise(inner._key, grid, (B, S + 1),
+    W, _, _ = integrate.sample_grid_noise(key, grid, (B, S + 1),
                                           noise_dtype)
     W = jnp.asarray(W[..., :S], wdtype)
 
     fw, hw, gw = drift.pack(), prior.pack(), diffusion.pack()
-    t_lo = jnp.asarray(grid[:-1], wdtype)
-    dts = jnp.asarray(np.diff(grid), wdtype)
+    grid_dev = jnp.asarray(grid, wdtype)
+    t_lo = grid_dev[:-1]
+    dts = grid_dev[1:] - grid_dev[:-1]  # f32 subtraction, = integrate_fixed
     solve = _make_euler_logqp(drift.acts, prior.acts, diffusion.acts, S,
                               with_time, wdtype)
     ys_steps, qs_steps = solve(fw, hw, gw, y0, W, t_lo, dts)

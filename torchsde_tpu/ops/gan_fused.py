@@ -356,7 +356,6 @@ def generator_solve_fused(func, x0, ts, key, dt):
     core/sdeint.py:155-162), same reversible-Heun algebra, ys on ``ts``.
     Requires the step grid to coincide with ``ts`` (the SDE-GAN setting:
     dt=1.0 on integer knots, reference sde_gan.py:129-130)."""
-    from ..brownian.interval import BrownianInterval
     from ..core import integrate
 
     S = x0.shape[1]
@@ -369,15 +368,16 @@ def generator_solve_fused(func, x0, ts, key, dt):
     if len(grid) != len(ts_np) or not np.allclose(grid, ts_np, atol=1e-9):
         raise ValueError("fused generator solve requires the dt-grid to "
                          "coincide with ts (dt=1.0 on integer knots)")
-    inner = BrownianInterval(t0=float(ts_np[0]), t1=float(ts_np[-1]),
-                             size=(B, m), dtype=wdtype, key=key)
-    W, _, _ = integrate.sample_grid_noise(inner._key, grid, (B, m), wdtype)
+    # sdeint's default-bm path samples with the BrownianInterval's _key,
+    # which is the key verbatim (brownian/interval.py:128).
+    W, _, _ = integrate.sample_grid_noise(key, grid, (B, m), wdtype)
 
     f0, g0 = func.f_and_g(jnp.asarray(ts_np[0], wdtype), x0)
     g0flat = g0.reshape(B, S * m)
     weights = pack_gen_weights(func)
-    t1s = jnp.asarray(ts_np[1:], wdtype)
-    dts = jnp.asarray(np.diff(ts_np), wdtype)
+    grid_dev = jnp.asarray(grid, wdtype)
+    t1s = grid_dev[1:]
+    dts = grid_dev[1:] - grid_dev[:-1]  # f32 subtraction, = integrate_fixed
     ys = _gen_solve(weights, x0, f0, g0flat, W, t1s, dts)
     return jnp.concatenate([x0[None], ys], axis=0)
 
@@ -618,7 +618,8 @@ def cde_final_state_fused(func, h0, ts, dt):
 
     f0 = func.f(jnp.asarray(ts_np[0], wdtype), h0)       # XLA, differentiable
     weights = dict(zip(_CDE_WNAMES, _pack_mlp2(func.func)))
-    t1s = jnp.asarray(ts_np[1:], wdtype)
-    dts = jnp.asarray(np.diff(ts_np), wdtype)
+    grid_dev = jnp.asarray(grid, wdtype)
+    t1s = grid_dev[1:]
+    dts = grid_dev[1:] - grid_dev[:-1]  # f32 subtraction, = integrate_fixed
     hs = _cde_solve(weights, h0, f0, slopes_eval, t1s, dts)
     return hs[-1]

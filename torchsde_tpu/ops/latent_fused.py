@@ -56,6 +56,17 @@ def pack_weights(model):
       input slice and a sigmoid, not softplus).
     """
     L = model.latent_size
+    # Validate the specialization the kernels hardcode (3-layer softplus
+    # towers, sigmoid per-dim g nets): a variant architecture must fail
+    # loudly here, not return silently wrong values from the fused path.
+    for name, net in (("f_net", model.f_net), ("h_net", model.h_net)):
+        if (len(net.layers) != 3 or net.activation != "softplus"
+                or net.final_activation is not None):
+            raise ValueError(
+                f"fused latent solve requires {name} to be a 3-layer "
+                f"softplus MLP with no final activation (got "
+                f"{len(net.layers)} layers, activation={net.activation!r}, "
+                f"final={net.final_activation!r}); use the XLA path")
     fl, hl = model.f_net.layers, model.h_net.layers
     H = fl[0].w.shape[1]
     w1g, b1g, w2g, b2g = model.g_nets      # (L,1,Hg), (L,Hg), (L,Hg,1), (L,1)
@@ -371,12 +382,15 @@ def latent_logqp_solve_fused(model, z0, ts, key, dt):
     """
     import numpy as np
 
-    from ..brownian.interval import BrownianInterval
     from ..core import integrate
     from ..core.sdeint import _time_dtype
 
     L = model.latent_size
     B = z0.shape[0]
+    C = model.context_size
+    if L + C + 1 > _LANE:
+        raise ValueError(f"latent+context must fit one lane tile: "
+                         f"L + C <= {_LANE - 1} (got {L} + {C})")
     # The kernel computes in the weights' dtype (f32 on the MXU). Casting
     # here — outside the custom_vjp boundary — keeps mixed-precision callers
     # working: autodiff maps the cotangents back through the casts.
@@ -384,16 +398,14 @@ def latent_logqp_solve_fused(model, z0, ts, key, dt):
     z0 = jnp.asarray(z0, wdtype)
     ts_np = np.asarray(ts, np.float64)
     grid = integrate.build_step_grid(ts_np[0], ts_np[-1], dt)
-    n = len(grid) - 1
 
-    # Same default-noise derivation as sdeint's _BMWrapper path: the logqp
-    # wrapper augments the diagonal state with one channel, so the default
-    # bm has size (B, L+1); the kernel consumes the first L channels (the
-    # logqp channel's diffusion is zero).
-    inner = BrownianInterval(t0=float(ts_np[0]), t1=float(ts_np[-1]),
-                             size=(B, L + 1), dtype=z0.dtype, key=key)
-    W, _, _ = integrate.sample_grid_noise(inner._key, grid, (B, L + 1),
-                                          z0.dtype)
+    # Same default-noise derivation as sdeint's _BMWrapper path (which
+    # samples with the BrownianInterval's _key — the key verbatim,
+    # brownian/interval.py:128): the logqp wrapper augments the diagonal
+    # state with one channel, so the default bm has size (B, L+1); the
+    # kernel consumes the first L channels (the logqp channel's diffusion
+    # is zero).
+    W, _, _ = integrate.sample_grid_noise(key, grid, (B, L + 1), z0.dtype)
     noise = W[..., :L]
 
     # Per-step context rows: the model looks ctx up by time with
@@ -405,7 +417,10 @@ def latent_logqp_solve_fused(model, z0, ts, key, dt):
                    model._ctx.shape[0] - 1)
     ctx_steps = jnp.asarray(model._ctx, wdtype)[idx]  # (n, B, C)
 
-    dts = jnp.asarray(np.diff(grid), z0.dtype)
+    # dt by f32 grid subtraction — BITWISE what integrate_fixed's scan uses
+    # (t1 - t0 of the f32-cast grid), not f32(np.diff(float64 grid)).
+    grid_dev = jnp.asarray(grid, z0.dtype)
+    dts = grid_dev[1:] - grid_dev[:-1]
     weights = pack_weights(model)
     zs_steps, qs_steps = _fused_solve(weights, z0, ctx_steps, noise, dts)
 
