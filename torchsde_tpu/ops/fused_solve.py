@@ -58,11 +58,19 @@ class TowerSpec:
     """
 
     def __init__(self, layers):
-        for (w, b, act) in layers:
+        for i, (w, b, act) in enumerate(layers):
             if act not in _ACTS:
                 raise ValueError(f"unknown activation {act!r} (use {_ACTS})")
             if max(w.shape) > _LANE or b.shape[0] > _LANE:
                 raise ValueError(f"tower dims must be <= {_LANE}")
+            if b.shape[0] != w.shape[1]:
+                raise ValueError(
+                    f"layer {i}: bias width {b.shape[0]} != weight output "
+                    f"width {w.shape[1]}")
+            if i > 0 and w.shape[0] != layers[i - 1][0].shape[1]:
+                raise ValueError(
+                    f"layer {i}: input width {w.shape[0]} does not chain from "
+                    f"layer {i - 1} output width {layers[i - 1][0].shape[1]}")
         self.layers = list(layers)
         self.in_size = layers[0][0].shape[0]
         self.out_size = layers[-1][0].shape[1]
@@ -769,8 +777,12 @@ def _euler_logqp_fwd_kernel(y0_ref, noise_ref, t0s_ref, dts_ref, *rest,
     f = _tower_fwd(x, fw, facts)[0][:, :S]
     h = _tower_fwd(x, hw, hacts)[0][:, :S]
     g = _tower_fwd(x, gw, gacts)[0][:, :S]
-    big = g > _EPS
-    gs = jnp.where(big, g, _EPS)
+    # stable_division parity (utils/misc.py:28-37): clamp by |g| with the sign
+    # preserved, so negative-capable diffusion towers (linear/tanh final
+    # activations) divide by g, not by +eps.
+    big = jnp.abs(g) > _EPS
+    sign = jnp.where(g >= 0, 1.0, -1.0).astype(g.dtype)
+    gs = jnp.where(big, g, _EPS * sign)
     u = (f - h) / gs
     q_s[...] = q_s[...] + 0.5 * jnp.sum(u * u, axis=1, keepdims=True) * dt
     y_s[...] = y + f * dt + g * dW
@@ -811,8 +823,10 @@ def _euler_logqp_bwd_kernel(ypre_ref, noise_ref, t0s_ref, dts_ref, gy_ref,
     hout, hcache = _tower_fwd(x, hw, hacts)
     gout, gcache = _tower_fwd(x, gw, gacts)
     f, h, g = fout[:, :S], hout[:, :S], gout[:, :S]
-    big = g > _EPS
-    gs = jnp.where(big, g, _EPS)
+    # Same sign-preserving clamp as the forward kernel (stable_division).
+    big = jnp.abs(g) > _EPS
+    sign = jnp.where(g >= 0, 1.0, -1.0).astype(g.dtype)
+    gs = jnp.where(big, g, _EPS * sign)
     u = (f - h) / gs
 
     dy = dy_s[...] + gy_ref[0]
