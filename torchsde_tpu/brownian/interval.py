@@ -4,35 +4,54 @@ This is the TPU-native redesign of the reference's ``BrownianInterval``
 (/root/reference/torchsde/_brownian/brownian_interval.py:129-786). The reference
 builds a lazy host-side binary interval tree with an LRU cache of ``(W, H)``
 values and per-node ``numpy.random.SeedSequence`` seeds; every query walks the
-tree in Python. None of that works under ``jax.jit`` and all of it serialises
-on the host.
+tree in Python, splitting nodes *exactly at the query times*
+(brownian_interval.py:321-332). None of that works under ``jax.jit`` and all
+of it serialises on the host.
 
-Here the tree is *implicit*: query times are quantised to a dyadic grid of
-``2**levels`` leaves, and a query ``(ta, tb)`` runs two fixed-depth descents of
-the dyadic tree entirely on device. Each descent maintains the running prefix
-increment ``W(t0, t)`` and prefix time-integral ``I(t) = \\int_{t0}^{t} W_u du``,
-conditioning parent ``(W, H)`` into child halves with the exact Brownian-bridge
-(no-H case, reference brownian_interval.py:226-238) and space-time-Levy-bridge
-(with-H case, reference brownian_interval.py:199-225) laws specialised to
-midpoint splits. Node noise comes from ``jax.random.fold_in`` on the node's
-heap index — the counter-based analogue of the reference's
-``SeedSequence(entropy, spawn_key=(2k+b, depth))`` (brownian_interval.py:317-339).
+Here the tree is *implicit and infinitely deep in principle*: a query
+``(ta, tb)`` runs two descents of the dyadic tree entirely on device, one per
+endpoint. Each descent maintains the running prefix increment ``W(t0, t)`` and
+prefix time-integral ``I(t) = \\int_{t0}^{t} W_u du``, conditioning parent
+``(W, H)`` into child halves with the exact Brownian-bridge (no-H case,
+reference brownian_interval.py:226-238) and space-time-Levy-bridge (with-H
+case, reference brownian_interval.py:199-225) laws specialised to midpoint
+splits. Node noise comes from a *path-chained* counter PRNG:
+``key(child) = jax.random.fold_in(key(parent), branch_bit)`` — the
+counter-based analogue of the reference's
+``SeedSequence(entropy, spawn_key=(2k+b, depth))`` (brownian_interval.py:317-339)
+that works at any depth.
+
+**Exact splits at arbitrary reals.** Every floating-point time is itself a
+dyadic rational, so descending until the query time is resolved reproduces the
+reference's exact-split contract at the granularity of the time representation:
+
+* concrete (host) query times are resolved by successive exact float64
+  midpoint comparisons down to at most ``levels`` (default 52 — the float64
+  fractional resolution of the span: one leaf is ``span * 2**-52``, below one
+  ulp of any time of magnitude ~span). Descents stop early at the depth the
+  query times actually need, so dyadic step grids stay cheap;
+* traced (on-device) query times use the same progressive midpoint
+  comparisons in the widest available float dtype (float64 under x64, else
+  float32 — in which case resolution bottoms out at the ulp of the on-device
+  time values themselves, which is also the resolution limit of any float32
+  solver time arithmetic).
 
 Consequences of the design:
 
-* **Bit-reproducible and query-order independent** — equivalent to the
-  reference's ``halfway_tree=True`` semantics (brownian_interval.py:447-452),
-  which is also what ``BrownianTree`` provides. There is no cache, no
-  dependency tree and no warm-up heuristics: every query is O(levels) with no
+* **Bit-reproducible and query-order independent** — stronger than the
+  reference default (its tree shape depends on query history unless
+  ``halfway_tree=True``, brownian_interval.py:447-452). No cache, no
+  dependency tree, no warm-up heuristics: every query is O(depth) with no
   host synchronisation, so both forward and backward solves are O(N log N).
 * **Exact additivity**: ``W(ta,t) + W(t,tb) == W(ta,tb)`` because increments
   are differences of prefix values — the chain rule holds to prefix-sum
-  floating-point cancellation (absolute error ~eps * |prefix|, i.e. exact for
-  all practical purposes even for leaf-width queries). The analogous chain
-  rule for the space-time Levy area holds to the same rounding.
-* ``tol`` sets the dyadic resolution (leaf width); default resolution is
-  ``2**-20`` of the interval span, matching ``BrownianTree``'s default
-  ``tol=1e-6`` on a unit interval.
+  floating-point cancellation, including for arbitrarily fine sub-steps (the
+  adaptive-solver case the round-1 fixed-depth design degraded on). The
+  analogous chain rule for the space-time Levy area holds to the same
+  rounding.
+* ``tol`` sets the dyadic resolution (leaf width) when given; ``levels``
+  caps the descent depth (a speed knob: shallower trees quantise query times
+  to ``span * 2**-levels``).
 * Full Levy area ``A`` uses Davie's / Foster's approximation
   (brownian_interval.py:78-99) with antisymmetric noise keyed per queried
   interval.
@@ -52,11 +71,11 @@ from . import base
 from ..settings import LEVY_AREA_APPROXIMATIONS
 
 _RSQRT3 = 1.0 / math.sqrt(3.0)
-# Leaf-edge indices must stay < 2**31 so heap ids fit `jax.random.fold_in`'s
-# 32-bit counter; index arithmetic itself is done in float64 (on host for
-# concrete times, on device when x64 is enabled), so 30 levels are exact.
-_MAX_LEVELS = 30
-_DEFAULT_LEVELS = 20
+# One leaf at depth 52 is span * 2**-52 — the float64 fractional resolution of
+# the span. Deeper levels cannot separate distinct float64 times of magnitude
+# ~span, so 52 is "exact splits" for all representable query times.
+_MAX_LEVELS = 52
+_DEFAULT_LEVELS = 52
 
 
 def _is_concrete_scalar(x):
@@ -204,99 +223,168 @@ class BrownianInterval(base.BaseBrownian):
                 f"levy_area_approximation={self._levy_area_approximation!r})")
 
     # ------------------------------------------------------------------ #
+    #  Host-side time resolution                                         #
+    # ------------------------------------------------------------------ #
+
+    def _host_bits(self, times):
+        """Resolve concrete times into dyadic branch bits by successive exact
+        float64 midpoint comparisons (the same arithmetic the traced path runs
+        on device, so concrete and traced queries of one time agree bit-for-bit
+        under x64).
+
+        Returns ``(bits, starts, full)``: ``bits`` an ``(n, depth)`` int32
+        matrix trimmed to the depth the times actually need, ``starts`` the
+        quantised (floor) times as float64, ``full`` the ``t >= t1`` mask.
+        """
+        t = np.clip(np.asarray(times, np.float64), self._t0, self._t1)
+        full = t >= self._t1
+        # Full points descend trivially (all-left) and are patched with the
+        # exact root statistics by the `full` flag — otherwise t1's all-ones
+        # bit pattern would force every grid to maximum depth.
+        t = np.where(full, self._t0, t)
+        n = t.shape[0]
+        L = self._levels
+        bits = np.zeros((n, L), np.int32)
+        start = np.full(n, self._t0, np.float64)
+        width = self._t1 - self._t0
+        for level in range(L):
+            half = 0.5 * width
+            mid = start + half
+            # mid > start guards ulp saturation: once half underflows below
+            # ulp(start) the time is fully resolved and all deeper bits are 0.
+            b = (t >= mid) & (mid > start)
+            bits[:, level] = b
+            start = np.where(b, mid, start)
+            width = half
+        # Trim to the needed depth: trailing all-zero levels change nothing.
+        nz = np.nonzero(bits.any(axis=0))[0]
+        depth = int(nz[-1]) + 1 if nz.size else 0
+        return bits[:, :depth], start, full
+
+    # ------------------------------------------------------------------ #
     #  Dyadic descent                                                    #
     # ------------------------------------------------------------------ #
 
-    def _time_to_index(self, t):
-        """Quantise a time to an integer dyadic leaf-edge index in [0, 2**levels].
+    def _prefix(self, depth, bits=None, t=None, full=None):
+        """Prefix statistics at a dyadic point of the tree.
 
-        The index arithmetic runs in float64: on the host when ``t`` is
-        concrete (the common case — step grids are built host-side), and on
-        device when x64 is enabled. The reference splits its host tree exactly
-        at arbitrary real query points (brownian_interval.py:321-330); float32
-        index math would misquantise times closer than span * 2**-24.
-        """
-        span = self._t1 - self._t0
-        n_leaves = 1 << self._levels
-        if _is_concrete_scalar(t):
-            k = int(round((float(t) - self._t0) / span * n_leaves))
-            return jnp.asarray(min(max(k, 0), n_leaves), jnp.int32)
-        ftype = jax.dtypes.canonicalize_dtype(jnp.float64)
-        frac = (jnp.asarray(t, ftype) - self._t0) / span
-        k = jnp.round(frac * n_leaves).astype(jnp.int32)
-        return jnp.clip(k, 0, n_leaves)
+        Exactly one of ``bits`` (a ``(depth,)`` int32 branch-bit vector,
+        concrete path) or ``t`` (a traced scalar time, resolved on device by
+        progressive midpoint comparison) drives the descent. Returns
+        ``(w_pref, i_pref, start, words)`` with ``w_pref = W(t0, t_q)``,
+        ``I_pref = \\int_{t0}^{t_q} (W_u - W_{t0}) du`` at the quantised time
+        ``t_q``, ``start`` the quantised time, and ``words`` int32 packed
+        branch bits (for keying per-interval Levy-area noise).
 
-    def _prefix(self, k):
-        """Prefix statistics at dyadic index ``k``.
-
-        Returns ``(W_pref, I_pref)`` with ``W_pref = W(t0, t_k)`` and
-        ``I_pref = \\int_{t0}^{t_k} (W_u - W_{t0}) du``, where
-        ``t_k = t0 + k * span / 2**levels``. The descent conditions each
-        parent ``(W, H)`` into halves using the midpoint specialisation of the
-        bridge laws in reference brownian_interval.py:199-238.
+        The descent conditions each parent ``(W, H)`` into halves using the
+        midpoint specialisation of the bridge laws in reference
+        brownian_interval.py:199-238; node keys chain by branch bit.
         """
         dtype = self.dtype
-        levels = self._levels
         span = self._t1 - self._t0
         have_H = self._have_H
         zero = jnp.zeros(self._size, dtype)
+        traced = bits is None
 
-        w_pref, i_pref = zero, zero
-        w_node, h_node = self._W_root, self._H_root
-        node_idx = jnp.int32(0)
-        for level in range(levels):
-            h = span / (2.0 ** level)          # width of the current node
-            hl = 0.5 * h                       # width of each child
-            sqrt_h = math.sqrt(h)
-            bit = (k >> (levels - 1 - level)) & 1
+        ftype = jax.dtypes.canonicalize_dtype(jnp.float64)
+        widths = span * np.exp2(-np.arange(depth, dtype=np.float64))
+        hs_d = jnp.asarray(widths, dtype)
+        sqrt_hs_d = jnp.asarray(np.sqrt(widths), dtype)
+        halves_t = jnp.asarray(0.5 * widths, ftype)
+        # Packed-bit weights: level i -> word i//30, bit position i%30.
+        word_idx = np.arange(depth) // 30
+        pow2 = jnp.asarray(1 << (np.arange(depth) % 30), jnp.int32)
+        n_words = max(1, int(word_idx.max()) + 1 if depth else 1)
 
-            heap_id = (1 << level) + node_idx
-            key_node = jax.random.fold_in(self._key_nodes, heap_id)
+        carry = dict(w_pref=zero, i_pref=zero,
+                     w_node=self._W_root, h_node=self._H_root,
+                     key=self._key_nodes,
+                     words=jnp.zeros((n_words,), jnp.int32))
+        if traced:
+            t = jnp.asarray(t, ftype)
+            carry["start"] = jnp.asarray(self._t0, ftype)
 
-            if have_H:
-                xs = jax.random.normal(key_node, (2, *self._size), dtype)
-                x1, x2 = xs[0], xs[1]
-                # Midpoint split of (W, H): left_diff == right_diff == h/2 in the
-                # general bridge of reference brownian_interval.py:199-225 gives
-                #   W_l = W/2 + (3/2) H + (sqrt(h)/4) X1
-                #   H_l = H/4 - (sqrt(h)/8) X1 + (sqrt(h)/(4 sqrt 3)) X2
-                #   W_r = W - W_l
-                #   H_r = H/4 - (sqrt(h)/8) X1 - (sqrt(h)/(4 sqrt 3)) X2
-                w_left = 0.5 * w_node + 1.5 * h_node + (0.25 * sqrt_h) * x1
-                h_common = 0.25 * h_node - (0.125 * sqrt_h) * x1
-                h_anti = (0.25 * sqrt_h * _RSQRT3) * x2
-                h_left = h_common + h_anti
-                h_right = h_common - h_anti
-                w_right = w_node - w_left
+        if depth > 0:
+            xs = dict(h=hs_d, sqrt_h=sqrt_hs_d,
+                      word=jnp.asarray(word_idx, jnp.int32), pow2=pow2)
+            if traced:
+                xs["half"] = halves_t
             else:
-                # Plain Brownian bridge at the midpoint: W_l ~ N(W/2, h/4)
-                # (reference brownian_interval.py:226-238 with equal halves).
-                x1 = jax.random.normal(key_node, self._size, dtype)
-                w_left = 0.5 * w_node + (0.5 * sqrt_h) * x1
-                w_right = w_node - w_left
-                h_left = zero
-                h_right = zero
+                xs["bit"] = jnp.asarray(bits, jnp.int32)
 
-            go_right = bit == 1
-            # When moving right we pass over the left child: accumulate its
-            # increment and its contribution to the prefix time-integral
-            #   \int_s^m W_u du = hl * W(s) + hl * (W_l / 2 + H_l).
-            u_left = hl * (0.5 * w_left + h_left)
-            i_pref = jnp.where(go_right, i_pref + hl * w_pref + u_left, i_pref)
-            w_pref = jnp.where(go_right, w_pref + w_left, w_pref)
-            w_node = jnp.where(go_right, w_right, w_left)
-            if have_H:
-                h_node = jnp.where(go_right, h_right, h_left)
-            node_idx = 2 * node_idx + bit
+            def body(c, x):
+                if traced:
+                    mid = c["start"] + x["half"]
+                    # mid > start guards ulp saturation: once the half-width
+                    # underflows below ulp(start), t is fully resolved and all
+                    # deeper branches go left (a deterministic no-op).
+                    bit = jnp.logical_and(t >= mid, mid > c["start"]).astype(jnp.int32)
+                else:
+                    bit = x["bit"]
+                h, sqrt_h = x["h"], x["sqrt_h"]
+                hl = 0.5 * h
+                if have_H:
+                    xs2 = jax.random.normal(c["key"], (2, *self._size), dtype)
+                    x1, x2 = xs2[0], xs2[1]
+                    # Midpoint split of (W, H): left_diff == right_diff == h/2
+                    # in the general bridge of reference
+                    # brownian_interval.py:199-225 gives
+                    #   W_l = W/2 + (3/2) H + (sqrt(h)/4) X1
+                    #   H_l = H/4 - (sqrt(h)/8) X1 + (sqrt(h)/(4 sqrt 3)) X2
+                    #   W_r = W - W_l
+                    #   H_r = H/4 - (sqrt(h)/8) X1 - (sqrt(h)/(4 sqrt 3)) X2
+                    w_left = 0.5 * c["w_node"] + 1.5 * c["h_node"] + (0.25 * sqrt_h) * x1
+                    h_common = 0.25 * c["h_node"] - (0.125 * sqrt_h) * x1
+                    h_anti = (0.25 * _RSQRT3) * sqrt_h * x2
+                    h_left = h_common + h_anti
+                    h_right = h_common - h_anti
+                    w_right = c["w_node"] - w_left
+                else:
+                    # Plain Brownian bridge at the midpoint: W_l ~ N(W/2, h/4)
+                    # (reference brownian_interval.py:226-238, equal halves).
+                    x1 = jax.random.normal(c["key"], self._size, dtype)
+                    w_left = 0.5 * c["w_node"] + (0.5 * sqrt_h) * x1
+                    w_right = c["w_node"] - w_left
+                    h_left = zero
+                    h_right = zero
 
-        # k == 2**levels is the right edge of the root: the loop above walks
+                go_right = bit == 1
+                # When moving right we pass over the left child: accumulate its
+                # increment and its contribution to the prefix time-integral
+                #   \int_s^m W_u du = hl * W(s) + hl * (W_l / 2 + H_l).
+                u_left = hl * (0.5 * w_left + h_left)
+                new = dict(
+                    i_pref=jnp.where(go_right,
+                                     c["i_pref"] + hl * c["w_pref"] + u_left,
+                                     c["i_pref"]),
+                    w_pref=jnp.where(go_right, c["w_pref"] + w_left, c["w_pref"]),
+                    w_node=jnp.where(go_right, w_right, w_left),
+                    h_node=jnp.where(go_right, h_right, h_left) if have_H else zero,
+                    key=jax.random.fold_in(c["key"], bit),
+                    words=c["words"].at[x["word"]].add(bit * x["pow2"]),
+                )
+                if traced:
+                    new["start"] = jnp.where(go_right, c["start"] + x["half"],
+                                             c["start"])
+                return new, None
+
+            carry, _ = jax.lax.scan(body, carry, xs)
+
+        # full == True is the right edge of the root: the descent walks
         # all-left for that bit pattern, so patch in the exact full-interval
         # statistics instead.
-        full = k == (1 << levels)
+        if traced:
+            full = t >= jnp.asarray(self._t1, ftype)
+            start = jnp.where(full, jnp.asarray(self._t1, ftype), carry["start"])
+        else:
+            start = None  # host-side caller already has exact starts
         i_full = span * (0.5 * self._W_root + self._H_root)
-        w_pref = jnp.where(full, self._W_root, w_pref)
-        i_pref = jnp.where(full, i_full, i_pref)
-        return w_pref, i_pref
+        w_pref = jnp.where(full, self._W_root, carry["w_pref"])
+        i_pref = jnp.where(full, i_full, carry["i_pref"])
+        words = jnp.where(full,
+                          jnp.full_like(carry["words"], jnp.int32(-1)),
+                          carry["words"])
+        return w_pref, i_pref, start, words
 
     # ------------------------------------------------------------------ #
     #  Query                                                             #
@@ -308,6 +396,7 @@ class BrownianInterval(base.BaseBrownian):
                           f"queries, not point evaluation.")
             ta, tb = self._t0, ta
 
+        dtype = self.dtype
         if _is_concrete_scalar(ta) and _is_concrete_scalar(tb):
             fa, fb = float(ta), float(tb)
             if fa < self._t0 or fb < self._t0:
@@ -317,20 +406,29 @@ class BrownianInterval(base.BaseBrownian):
             if fa > fb:
                 raise RuntimeError(f"Query times ta={fa:.3f} and tb={fb:.3f} must "
                                    f"respect ta <= tb.")
+            bits, starts, full = self._host_bits(np.asarray([fa, fb]))
+            depth = bits.shape[1]
+            w_prefs, i_prefs, _, words = jax.vmap(
+                lambda b, f: self._prefix(depth, bits=b, full=f)
+            )(jnp.asarray(bits), jnp.asarray(full))
+            eff = np.where(full, self._t1, starts)
+            h_exact = float(eff[1] - eff[0])
+            h = jnp.asarray(h_exact, dtype)
+            degenerate = jnp.asarray(h_exact == 0.0)
+        else:
+            ftype = jax.dtypes.canonicalize_dtype(jnp.float64)
+            ta = jnp.clip(jnp.asarray(ta, ftype), self._t0, self._t1)
+            tb = jnp.clip(jnp.asarray(tb, ftype), self._t0, self._t1)
+            tb = jnp.maximum(ta, tb)
+            depth = self._levels
+            w_prefs, i_prefs, starts, words = jax.vmap(
+                lambda t: self._prefix(depth, t=t)
+            )(jnp.stack([ta, tb]))
+            h = (starts[1] - starts[0]).astype(dtype)
+            degenerate = starts[1] == starts[0]
 
-        ka = self._time_to_index(ta)
-        kb = self._time_to_index(tb)
-        kb = jnp.maximum(ka, kb)
-
-        w_prefs, i_prefs = jax.vmap(self._prefix)(jnp.stack([ka, kb]))
         w_a, i_a = w_prefs[0], i_prefs[0]
         w_b, i_b = w_prefs[1], i_prefs[1]
-
-        dtype = self.dtype
-        span = self._t1 - self._t0
-        leaf = span / (1 << self._levels)
-        h = ((kb - ka).astype(dtype)) * leaf
-        degenerate = kb == ka
 
         W = w_b - w_a
         H = None
@@ -344,7 +442,7 @@ class BrownianInterval(base.BaseBrownian):
 
         A = None
         if self._have_A:
-            A = self._levy_area(ka, kb, W, H, h, degenerate)
+            A = self._levy_area(words[0], words[1], W, H, h, degenerate)
 
         U_out = None
         if self._have_H:
@@ -372,20 +470,19 @@ class BrownianInterval(base.BaseBrownian):
         brownian_interval.py:517-522).
         """
         grid = np.asarray(grid, np.float64)
-        span = self._t1 - self._t0
-        n_leaves = 1 << self._levels
-        ks = np.clip(np.round((grid - self._t0) / span * n_leaves), 0, n_leaves)
-        ks = jnp.asarray(ks.astype(np.int32))
+        bits, starts, full = self._host_bits(grid)
+        depth = bits.shape[1]
+        w_prefs, i_prefs, _, words = jax.vmap(
+            lambda b, f: self._prefix(depth, bits=b, full=f)
+        )(jnp.asarray(bits), jnp.asarray(full))
 
-        w_prefs, i_prefs = jax.vmap(self._prefix)(ks)
-        ka, kb = ks[:-1], ks[1:]
         dtype = self.dtype
-        leaf = span / n_leaves
-        h = (kb - ka).astype(dtype) * leaf
-        degenerate = kb == ka
+        eff = np.where(full, self._t1, starts)
+        h_host = np.diff(eff)
+        degenerate = h_host == 0.0
         bshape = (-1,) + (1,) * len(self._size)
-        h_b = h.reshape(bshape)
-        deg_b = degenerate.reshape(bshape)
+        h_b = jnp.asarray(h_host, dtype).reshape(bshape)
+        deg_b = jnp.asarray(degenerate).reshape(bshape)
 
         W = w_prefs[1:] - w_prefs[:-1]
         H = None
@@ -397,15 +494,17 @@ class BrownianInterval(base.BaseBrownian):
 
         A = None
         if self._have_A and return_A:
-            A = jax.vmap(self._levy_area)(ka, kb, W, H, h, degenerate)
+            A = jax.vmap(self._levy_area)(
+                words[:-1], words[1:], W, H,
+                jnp.asarray(h_host, dtype), jnp.asarray(degenerate))
 
         U_out = h_b * (0.5 * W + H) if (self._have_H and return_U) else None
         return W, (U_out if return_U else None), (A if return_A else None)
 
-    def _levy_area(self, ka, kb, W, H, h, degenerate):
+    def _levy_area(self, words_a, words_b, W, H, h, degenerate):
         """Davie/Foster approximation of full Levy area over the queried cell
         (reference brownian_interval.py:78-99), with antisymmetric noise keyed
-        by the quantised interval endpoints."""
+        by the packed branch bits of the two endpoints."""
         dtype = self.dtype
         if len(self._size) in (0, 1):
             # Zero- or one-dimensional size: treated as a batch of scalar
@@ -413,7 +512,9 @@ class BrownianInterval(base.BaseBrownian):
             return jnp.zeros_like(W)
         m = self._size[-1]
         noise_shape = (*self._size, m)
-        key = jax.random.fold_in(jax.random.fold_in(self._key_a, ka), kb)
+        key = self._key_a
+        for w in list(words_a) + list(words_b):
+            key = jax.random.fold_in(key, w)
         noise = jax.random.normal(key, noise_shape, dtype)
         noise = noise - jnp.swapaxes(noise, -1, -2)  # skew symmetric, variance 2
         A = H[..., :, None] * W[..., None, :] - W[..., :, None] * H[..., None, :]

@@ -121,8 +121,10 @@ def default_max_steps(ts, dt, dt_min):
 
 def warn_if_coarser_than_dt_min(bm_obj, dt_min):
     """Adaptive steps finer than a BrownianInterval leaf see zero noise
-    increments (VERDICT r1 item 6); warn up front instead of degrading
-    silently."""
+    increments; warn up front instead of degrading silently. At the default
+    (exact, depth-52) resolution the leaf is ``span * 2**-52`` so this never
+    fires — it only guards intervals explicitly coarsened via ``levels``/
+    ``tol``."""
     inner = getattr(bm_obj, "bm", bm_obj)
     if isinstance(inner, BrownianInterval):
         leaf = (inner.t1 - inner.t0) / (1 << inner.levels)
@@ -139,7 +141,12 @@ def _integrate(solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol,
                dt_min, extra_solver_state, rng_impl="threefry", max_steps=None,
                unroll=1):
     time_dtype = _time_dtype(y0)
+    ts_traced = isinstance(ts, jax.core.Tracer)
     if adaptive:
+        if ts_traced:
+            raise ValueError("Traced `ts` is only supported for fixed-step "
+                             "solves (the adaptive loop's output bookkeeping "
+                             "needs concrete output times).")
         bm_obj = bm.bm if isinstance(bm, _BMWrapper) else bm
         warn_if_coarser_than_dt_min(bm_obj, dt_min)
         if max_steps is None:
@@ -152,7 +159,12 @@ def _integrate(solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol,
         return integrate.adaptive_solve(cfg, solver.sde, bm_obj, y0,
                                         tuple(extra_solver_state))
 
-    grid = integrate.build_step_grid(ts[0], ts[-1], dt)
+    if ts_traced:
+        # Static grid over the bm's full range; traced ts only steers the
+        # on-device output interpolation below.
+        grid = integrate.build_step_grid(bm.t0, bm.t1, dt)
+    else:
+        grid = integrate.build_step_grid(ts[0], ts[-1], dt)
     if isinstance(bm, _BMWrapper):
         inner = bm.bm
         noise_xs = integrate.sample_grid_noise(
@@ -167,7 +179,8 @@ def _integrate(solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol,
         noise_xs = integrate.precompute_bm_noise(
             bm, grid, solver.needs_U, solver.needs_A)
     n_steps = len(grid) - 1
-    stats = dict(n_accepted=n_steps, n_rejected=0, nfe=n_steps, incomplete=False)
+    stats = dict(n_accepted=n_steps, n_rejected=0,
+                 nfe=n_steps * solver.nfe_per_step, incomplete=False)
     ys, extra_out = integrate.integrate_fixed(
         solver, y0, extra_solver_state, grid, ts, noise_xs=noise_xs,
         time_dtype=time_dtype, unroll=unroll)
@@ -217,15 +230,35 @@ def check_contract(sde, y0, ts, bm, method, adaptive, options, names, logqp,
     if method not in METHODS:
         raise ValueError(f"Expected method in {METHODS}, but found {method}.")
 
-    try:
-        ts = np.asarray(ts, np.float64)
-    except Exception as e:
-        raise ValueError("Evaluation times `ts` must be a 1-D array or list/tuple of "
-                         "floats, concrete at trace time.") from e
-    if ts.ndim != 1:
-        raise ValueError("Evaluation times `ts` must be one-dimensional.")
-    if not misc.is_strictly_increasing(ts):
-        raise ValueError("Evaluation times `ts` must be strictly increasing.")
+    if isinstance(ts, jax.core.Tracer):
+        # Traced output schedule (solver embedded in a larger jitted program,
+        # reference sdeint.py:161-166 accepts tensor ts): the solve range must
+        # be static, so an explicit Brownian object is required — its
+        # [t0, t1] defines the step grid; `ts` only drives the on-device
+        # output interpolation (one compilation serves every schedule of the
+        # same length).
+        if ts.ndim != 1:
+            raise ValueError("Evaluation times `ts` must be one-dimensional.")
+        if bm is None:
+            raise ValueError(
+                "Traced evaluation times `ts` require an explicit `bm` (e.g. a "
+                "BrownianInterval): its [t0, t1] provides the static solve "
+                "range that a traced `ts` cannot.")
+        if not (hasattr(bm, "t0") and hasattr(bm, "t1")):
+            raise ValueError(
+                "Traced evaluation times `ts` require a `bm` exposing static "
+                "`t0`/`t1` attributes (BrownianInterval does).")
+    else:
+        try:
+            ts = np.asarray(ts, np.float64)
+        except Exception as e:
+            raise ValueError("Evaluation times `ts` must be a 1-D array or list/tuple "
+                             "of floats, concrete at trace time (or a traced 1-D "
+                             "array together with an explicit `bm`).") from e
+        if ts.ndim != 1:
+            raise ValueError("Evaluation times `ts` must be one-dimensional.")
+        if not misc.is_strictly_increasing(ts):
+            raise ValueError("Evaluation times `ts` must be strictly increasing.")
 
     batch_sizes, state_sizes, noise_sizes = [], [], []
     batch_sizes.append(y0.shape[0])
