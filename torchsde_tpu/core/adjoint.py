@@ -56,6 +56,7 @@ class _Cfg:
     adjoint_rtol: float = 1e-5
     adjoint_atol: float = 1e-4
     unroll: int = 1
+    adjoint_max_steps: int = 16384
 
 
 def _zero_cotangent(tree):
@@ -193,41 +194,202 @@ def _adjoint_solve_bwd(cfg, res, ct):
     return grad_sde, grad_bm, grad_y0, grad_extra0
 
 
-def _adjoint_bwd_adaptive(cfg, sde, bm, ys, grad_ys, adj_solver):
-    """Adaptive backward solve (``adjoint_adaptive=True``): re-integrate the
-    augmented adjoint state over each output interval in reverse with the
-    on-device adaptive while-loop, at ``adjoint_rtol``/``adjoint_atol``,
-    querying the same counter-based BrownianInterval through ReverseBrownian
-    so noise replay stays exact at whatever sub-intervals the controller
-    visits. Reference: separate adjoint tolerances plumbed to the backward
-    integrate, /root/reference/torchsde/_core/adjoint.py:133-141.
+def _merged_bwd_adaptive(cfg, adj_solver, rev_bm, ys, grad_ys, adj_sde0,
+                         bounded):
+    """ONE merged adaptive solve over ALL backward output intervals.
 
-    The per-output-interval loop is a Python loop (T - 1 unrolled segments,
-    like the reference's reverse loop, adjoint.py:97-119); the dynamic
-    stepping inside each segment is a ``lax.while_loop``, so gradients *of*
-    these gradients (double backward) are not supported on this path.
+    Processes segments ``T-1 -> 1`` sequentially inside a single on-device
+    loop; at each segment boundary the augmented state is reset to the saved
+    trajectory and the incoming output cotangent injected — the same
+    boundary semantics as the reference's per-interval reverse loop
+    (/root/reference/torchsde/_core/adjoint.py:97-119), but with program size
+    and compile time flat in ``len(ts)`` (the round-1 design unrolled T-1
+    separate while-loops).
+
+    ``bounded=False``: a dynamic ``lax.while_loop`` (fast primal, not
+    reverse-differentiable). ``bounded=True``: exactly
+    ``cfg.adjoint_max_steps`` masked iterations of a ``lax.scan`` with
+    identical arithmetic, so ``jax.grad`` works — this is what makes double
+    backward through ``adjoint_adaptive`` possible. When the bounded budget
+    runs out before segment 1 completes the result is NaN (loud), matching
+    ``integrate.integrate_adaptive_scan``'s contract.
+
+    Per-segment controller state (step size ``h``, PI ratio) resets at each
+    boundary, matching the reference's fresh ``integrate`` call per interval.
     """
-    rev_bm = ReverseBrownian(bm)
     ts = np.asarray(cfg.ts, np.float64)
     T = len(ts)
+    time_dtype = jnp.result_type(ys)
+    neg_ts = jnp.asarray(-ts, time_dtype)
+    dt0 = jnp.asarray(cfg.dt, time_dtype)
+    rtol, atol, dt_min = cfg.adjoint_rtol, cfg.adjoint_atol, cfg.dt_min
 
-    y_like = jax.tree_util.tree_map(lambda l: l[0], ys)
-    adj_y = jnp.zeros_like(y_like)
-    y = jnp.zeros_like(y_like)
-    adj_sde = _zero_cotangent(sde)
+    needs_U = adj_solver.needs_U
+    needs_A = adj_solver.needs_A
 
-    for i in range(T - 1, 0, -1):
-        aug = (ys[i], adj_y + grad_ys[i], adj_sde)
-        rev_ts = np.asarray([-ts[i], -ts[i - 1]])
-        buf, _extra, _stats = integrate.integrate_adaptive(
-            adj_solver, aug, (), rev_ts, rev_bm, cfg.dt,
-            cfg.adjoint_rtol, cfg.adjoint_atol, cfg.dt_min)
-        y, adj_y, adj_sde = jax.tree_util.tree_map(lambda l: l[1], buf)
+    init = dict(
+        seg=jnp.asarray(T - 1, jnp.int32),
+        curr_t=neg_ts[T - 1],
+        y=ys[T - 1],
+        adj_y=grad_ys[T - 1],
+        adj_sde=adj_sde0,
+        h=dt0,
+        prev_ratio=jnp.asarray(1.0, time_dtype),
+        prev_ratio_valid=jnp.asarray(False),
+        n_accepted=jnp.asarray(0, jnp.int32),
+        n_rejected=jnp.asarray(0, jnp.int32),
+    )
 
-    grad_y0 = adj_y + grad_ys[0]
+    def tree_where(pred, new, old):
+        return jax.tree_util.tree_map(lambda n, o: jnp.where(pred, n, o),
+                                      new, old)
+
+    def transition(c, active):
+        """Finish segment c['seg']; start the next (state reset + cotangent
+        injection). curr_t needs no update: the old segment's end time IS the
+        new segment's start time."""
+        seg2 = c["seg"] - active.astype(jnp.int32)
+        inject = jnp.logical_and(active, seg2 >= 1)
+        idx = jnp.clip(seg2, 0, T - 1)
+        c = dict(c)
+        c["seg"] = seg2
+        c["y"] = jnp.where(inject, ys[idx], c["y"])
+        c["adj_y"] = jnp.where(inject, c["adj_y"] + grad_ys[idx], c["adj_y"])
+        c["h"] = jnp.where(inject, dt0, c["h"])
+        c["prev_ratio_valid"] = jnp.logical_and(c["prev_ratio_valid"], ~inject)
+        return c
+
+    def attempt(c, active):
+        """One adaptive step attempt (1 full + 2 half steps, PI controller) —
+        the same arithmetic as integrate.integrate_adaptive, minus the output
+        interpolation (only segment-end states matter here)."""
+        seg_end = neg_ts[jnp.clip(c["seg"] - 1, 0, T - 1)]
+        t = c["curr_t"]
+        next_t = jnp.where(active, jnp.minimum(t + c["h"], seg_end), t + c["h"])
+        mid_t = 0.5 * (t + next_t)
+        noise_full = integrate.query_bm(rev_bm, t, next_t, needs_U, needs_A)
+        noise_h1 = integrate.query_bm(rev_bm, t, mid_t, needs_U, needs_A)
+        noise_h2 = integrate.query_bm(rev_bm, mid_t, next_t, needs_U, needs_A)
+
+        aug = (c["y"], c["adj_y"], c["adj_sde"])
+        aug_full, _ = adj_solver.step(t, next_t, aug, (), noise_full)
+        aug_mid, _ = adj_solver.step(t, mid_t, aug, (), noise_h1)
+        aug_next, _ = adj_solver.step(mid_t, next_t, aug_mid, (), noise_h2)
+
+        error = jax.lax.stop_gradient(
+            integrate._compute_error(aug_full, aug_next, rtol, atol))
+        h_new, prev_ratio, prev_ratio_valid = integrate._update_step_size(
+            error, c["h"], c["prev_ratio"], c["prev_ratio_valid"])
+        hit_min = h_new < dt_min
+        h_new = jnp.maximum(h_new, dt_min)
+        prev_ratio_valid = jnp.logical_and(prev_ratio_valid, ~hit_min)
+        accept = jnp.logical_and(
+            active, jnp.logical_or(error <= 1.0, h_new <= dt_min))
+
+        c = dict(c)
+        c["curr_t"] = jnp.where(accept, next_t, c["curr_t"])
+        y1, adj_y1, adj_sde1 = aug_next
+        c["y"] = jnp.where(accept, y1, c["y"])
+        c["adj_y"] = jnp.where(accept, adj_y1, c["adj_y"])
+        c["adj_sde"] = tree_where(accept, adj_sde1, c["adj_sde"])
+        c["h"] = jnp.where(active, h_new, c["h"])
+        c["prev_ratio"] = jnp.where(active, prev_ratio, c["prev_ratio"])
+        c["prev_ratio_valid"] = jnp.where(active, prev_ratio_valid,
+                                          c["prev_ratio_valid"])
+        c["n_accepted"] = c["n_accepted"] + accept.astype(jnp.int32)
+        c["n_rejected"] = (c["n_rejected"]
+                           + jnp.logical_and(active, ~accept).astype(jnp.int32))
+        return c
+
+    if bounded:
+        def body(c, _):
+            act = c["seg"] >= 1
+            seg_end = neg_ts[jnp.clip(c["seg"] - 1, 0, T - 1)]
+            done = jnp.logical_and(act, c["curr_t"] >= seg_end)
+            step_mode = jnp.logical_and(act, ~done)
+            c = transition(c, done)
+            c = attempt(c, step_mode)
+            return c, None
+
+        final, _ = jax.lax.scan(body, init, None,
+                                length=int(cfg.adjoint_max_steps))
+        incomplete = final["seg"] >= 1
+        # Multiplicative NaN poisoning: a `where(incomplete, nan, x)` would
+        # route cotangents to the NaN *constant* and silently zero every
+        # gradient — multiplying keeps both the values AND their gradients
+        # loud when the budget is exhausted (raise `adjoint_max_steps`).
+        poison = jnp.where(incomplete, jnp.asarray(jnp.nan, time_dtype),
+                           jnp.asarray(1.0, time_dtype))
+        final["adj_y"] = final["adj_y"] * poison
+        final["adj_sde"] = jax.tree_util.tree_map(
+            lambda l: l * poison.astype(l.dtype)
+            if jnp.issubdtype(jnp.result_type(l), jnp.inexact) else l,
+            final["adj_sde"])
+    else:
+        def cond(c):
+            return c["seg"] >= 1
+
+        def body(c):
+            seg_end = neg_ts[jnp.clip(c["seg"] - 1, 0, T - 1)]
+            done = c["curr_t"] >= seg_end
+            return jax.lax.cond(
+                done,
+                lambda c: transition(c, jnp.asarray(True)),
+                lambda c: attempt(c, jnp.asarray(True)),
+                c)
+
+        final = jax.lax.while_loop(cond, body, init)
+
+    grad_y0 = final["adj_y"] + grad_ys[0]
+    return final["adj_sde"], grad_y0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _adaptive_backward_solve(cfg, sde, bm, ys, grad_ys):
+    """Merged adaptive adjoint backward with the same fast/differentiable
+    dispatch as ``integrate.adaptive_solve``: the primal runs the dynamic
+    while-loop; under differentiation (double backward) the forward is
+    re-traced as the bounded masked scan, whose transpose is plain backprop —
+    the reference gets double backward by recursing into its own autograd
+    Function (/root/reference/torchsde/_core/adjoint.py:98)."""
+    adjoint_sde = AdjointSDE(sde)
+    adj_solver = _make_solver(cfg, adjoint_sde, bm, adjoint=True)
+    return _merged_bwd_adaptive(cfg, adj_solver, ReverseBrownian(bm), ys,
+                                grad_ys, _zero_cotangent(sde), bounded=False)
+
+
+def _adaptive_backward_solve_fwd(cfg, sde, bm, ys, grad_ys):
+    def run(sde, bm, ys, grad_ys):
+        adjoint_sde = AdjointSDE(sde)
+        adj_solver = _make_solver(cfg, adjoint_sde, bm, adjoint=True)
+        return _merged_bwd_adaptive(cfg, adj_solver, ReverseBrownian(bm), ys,
+                                    grad_ys, _zero_cotangent(sde),
+                                    bounded=True)
+
+    return jax.vjp(run, sde, bm, ys, grad_ys)
+
+
+def _adaptive_backward_solve_bwd(cfg, vjp_fn, ct):
+    return vjp_fn(ct)
+
+
+_adaptive_backward_solve.defvjp(_adaptive_backward_solve_fwd,
+                                _adaptive_backward_solve_bwd)
+
+
+def _adjoint_bwd_adaptive(cfg, sde, bm, ys, grad_ys, adj_solver):
+    """Adaptive backward solve (``adjoint_adaptive=True``): re-integrate the
+    augmented adjoint state over every output interval in reverse in ONE
+    merged on-device loop, at ``adjoint_rtol``/``adjoint_atol``, querying the
+    same counter-based BrownianInterval through ReverseBrownian so noise
+    replay stays exact at whatever sub-intervals the controller visits.
+    Reference: separate adjoint tolerances plumbed to the backward integrate,
+    /root/reference/torchsde/_core/adjoint.py:133-141."""
+    del adj_solver  # rebuilt inside the custom_vjp boundary
+    adj_sde_grad, grad_y0 = _adaptive_backward_solve(cfg, sde, bm, ys, grad_ys)
     grad_bm = _zero_cotangent(bm)
     grad_extra0 = ()
-    return adj_sde, grad_bm, grad_y0, grad_extra0
+    return adj_sde_grad, grad_bm, grad_y0, grad_extra0
 
 
 _adjoint_solve.defvjp(_adjoint_solve_fwd, _adjoint_solve_bwd)
@@ -275,6 +437,7 @@ def sdeint_adjoint(sde,
                    entropy=None,
                    rng_impl="threefry",
                    unroll=1,
+                   adjoint_max_steps=None,
                    **unused_kwargs):
     """Integrate an SDE with O(1)-memory stochastic-adjoint gradients.
 
@@ -331,6 +494,11 @@ def sdeint_adjoint(sde,
     def _hash_opts(d):
         return tuple(sorted(d.items()))
 
+    if adjoint_max_steps is None:
+        # Step-attempt budget for the *differentiated* (double-backward)
+        # merged adaptive backward; the undifferentiated primal uses a
+        # dynamic while-loop and ignores it.
+        adjoint_max_steps = sdeint_mod.default_max_steps(ts, dt, dt_min)
     cfg = _Cfg(ts=tuple(float(t) for t in ts), dt=float(dt), method=method,
                adjoint_method=adjoint_method, grid_noise=grid_noise,
                levy=inner_bm.levy_area_approximation,
@@ -339,7 +507,7 @@ def sdeint_adjoint(sde,
                adaptive=bool(adaptive), rng_impl=rng_impl,
                adjoint_adaptive=bool(adjoint_adaptive),
                adjoint_rtol=float(adjoint_rtol), adjoint_atol=float(adjoint_atol),
-               unroll=int(unroll))
+               unroll=int(unroll), adjoint_max_steps=int(adjoint_max_steps))
 
     solver = _make_solver(cfg, sde, inner_bm, adjoint=False)
     if inner_bm.levy_area_approximation not in solver.levy_area_approximations:
