@@ -202,7 +202,10 @@ def integrate_fixed(solver, y0, extra0, grid, ts, bm=None, noise_xs=None,
                                               unroll=unroll)
     ys_grid = jax.tree_util.tree_map(
         lambda first, rest: jnp.concatenate([first[None], rest], axis=0), y0, ys_steps)
-    ts_dev = jnp.asarray(np.asarray(ts, np.float64), time_dtype)
+    if isinstance(ts, jax.core.Tracer):
+        ts_dev = jnp.asarray(ts, time_dtype)
+    else:
+        ts_dev = jnp.asarray(np.asarray(ts, np.float64), time_dtype)
     ys = linear_interp_on_grid(ts_dev, grid_dev, ys_grid)
     return ys, extra_final
 
@@ -439,7 +442,7 @@ def integrate_adaptive(solver, y0, extra0, ts, bm, dt0, rtol, atol, dt_min,
     final = jax.lax.while_loop(cond, body, init)
     n_attempts = final["n_accepted"] + final["n_rejected"]
     stats = dict(n_accepted=final["n_accepted"], n_rejected=final["n_rejected"],
-                 nfe=3 * n_attempts,
+                 nfe=3 * solver.nfe_per_step * n_attempts,
                  incomplete=jnp.asarray(False))
     return final["buf"], final["extra"], stats
 
@@ -565,7 +568,7 @@ def integrate_adaptive_scan(solver, y0, extra0, ts, bm, dt0, rtol, atol, dt_min,
     final, _ = jax.lax.scan(body, init, None, length=max_steps)
     n_attempts = final["n_accepted"] + final["n_rejected"]
     stats = dict(n_accepted=final["n_accepted"], n_rejected=final["n_rejected"],
-                 nfe=3 * n_attempts,
+                 nfe=3 * solver.nfe_per_step * n_attempts,
                  incomplete=final["out_idx"] < T)
     return final["buf"], final["extra"], stats
 

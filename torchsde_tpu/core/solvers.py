@@ -70,6 +70,15 @@ class BaseSDESolver:
     def init_extra_solver_state(self, t0, y0):
         return ()
 
+    @property
+    def nfe_per_step(self):
+        """Vector-field evaluations per step, counted the way the reference's
+        per-problem nfe counters do (/root/reference/tests/problems.py:55-72:
+        each call of ``f`` or ``g`` is one evaluation, so ``f_and_g`` /
+        ``f_and_g_prod`` count 2, ``g_prod`` counts 1, and vjp/jvp-based
+        brackets count the single primal diffusion evaluation)."""
+        raise NotImplementedError
+
     def step(self, t0, t1, y0, extra0, noise):
         """One step from t0 to t1. ``noise`` is ``(W, U, A)`` for the full step
         (entries are None unless the solver declared needs_U / needs_A)."""
@@ -86,6 +95,8 @@ class Euler(BaseSDESolver):
     def __init__(self, sde, **kwargs):
         self.strong_order = 1.0 if sde.noise_type == NOISE_TYPES.additive else 0.5
         super().__init__(sde=sde, **kwargs)
+
+    nfe_per_step = 2  # one fused f_and_g_prod
 
     def step(self, t0, t1, y0, extra0, noise):
         del extra0
@@ -106,6 +117,8 @@ class Midpoint(BaseSDESolver):
     def __init__(self, sde, **kwargs):
         self.strong_order = 0.5 if sde.noise_type == NOISE_TYPES.general else 1.0
         super().__init__(sde=sde, **kwargs)
+
+    nfe_per_step = 4  # two fused f_and_g_prod calls
 
     def step(self, t0, t1, y0, extra0, noise):
         del extra0
@@ -131,6 +144,8 @@ class Heun(BaseSDESolver):
         self.strong_order = 0.5 if sde.noise_type == NOISE_TYPES.general else 1.0
         super().__init__(sde=sde, **kwargs)
 
+    nfe_per_step = 4  # two fused f_and_g_prod calls
+
     def step(self, t0, t1, y0, extra0, noise):
         del extra0
         dt = t1 - t0
@@ -154,6 +169,8 @@ class EulerHeun(BaseSDESolver):
     def __init__(self, sde, **kwargs):
         self.strong_order = 0.5 if sde.noise_type == NOISE_TYPES.general else 1.0
         super().__init__(sde=sde, **kwargs)
+
+    nfe_per_step = 3  # f_and_g_prod + one extra g_prod
 
     def step(self, t0, t1, y0, extra0, noise):
         del extra0
@@ -190,6 +207,12 @@ class BaseMilstein(BaseSDESolver):
                 "a more efficient diffusion-vector product. Use derivative-using "
                 "Milstein instead: `adjoint_options=dict(grad_free=False)`")
         super().__init__(sde=sde, options=options, **kwargs)
+
+    @property
+    def nfe_per_step(self):
+        # grad-based: f + one primal g inside the vjp bracket; grad-free:
+        # f_and_g + the extra derivative-free g evaluation.
+        return 3 if self.options[METHOD_OPTIONS.grad_free] else 2
 
     def v_term(self, I_k, dt):
         raise NotImplementedError
@@ -262,6 +285,18 @@ class SRK(BaseSDESolver):
                 "SDEs rely on a more efficient diffusion-vector product. Use a "
                 "different method instead.")
         super().__init__(sde=sde, **kwargs)
+
+    @property
+    def nfe_per_step(self):
+        # Exact evaluation counts of the stage loops below: srid2 (4 stages)
+        # re-evaluates (f, g) for every (stage, substage) pair — 6 pairs — plus
+        # one f and one g_prod per stage: 12 + 8 = 20. sra1 (2 stages):
+        # 1 inner (f + g_prod) pair + 2 stage (f + g_prod) pairs = 6.
+        if self.sde.noise_type == NOISE_TYPES.additive:
+            s = tableaus.SRA1.STAGES
+            return s * (s - 1) + 2 * s
+        s = tableaus.SRID2.STAGES
+        return s * (s - 1) + 2 * s
 
     def step(self, t0, t1, y0, extra0, noise):
         if self.sde.noise_type == NOISE_TYPES.additive:
@@ -345,6 +380,8 @@ class LogODEMidpoint(BaseSDESolver):
         self.strong_order = 0.5 if sde.noise_type == NOISE_TYPES.general else 1.0
         super().__init__(sde=sde, **kwargs)
 
+    nfe_per_step = 5  # two f_and_g_prod + the jvp bracket's primal g
+
     def step(self, t0, t1, y0, extra0, noise):
         del extra0
         dt = t1 - t0
@@ -370,6 +407,8 @@ class ReversibleHeun(BaseSDESolver):
     def __init__(self, sde, **kwargs):
         self.strong_order = 1.0 if sde.noise_type == NOISE_TYPES.additive else 0.5
         super().__init__(sde=sde, **kwargs)
+
+    nfe_per_step = 2  # one f_and_g at z1; (f0, g0) ride in the carry
 
     def init_extra_solver_state(self, t0, y0):
         f0, g0 = self.sde.f_and_g(t0, y0)
