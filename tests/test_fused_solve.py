@@ -77,7 +77,8 @@ def test_fused_sdeint_matches_sdeint(method, sde_type, noise_type, d, m,
 
     ys_ref = sdeint(sde, y0, ts, method=method, dt=dt, key=nkey)
     ys_f = FS.fused_sdeint(drift, diffusion, y0, ts, nkey, dt, method=method,
-                           noise_type=noise_type, with_time=with_time)
+                           noise_type=noise_type, with_time=with_time,
+                           dispatch="fused")
     np.testing.assert_allclose(ys_f, ys_ref, atol=2e-5)
 
     # gradients w.r.t. tower weights and y0 via both paths (weights only —
@@ -93,7 +94,8 @@ def test_fused_sdeint_matches_sdeint(method, sde_type, noise_type, d, m,
     def loss_fus(drift_p, diff_p, y0):
         return jnp.sum(FS.fused_sdeint(
             respec(drift_p, facts), respec(diff_p, gacts), y0, ts, nkey, dt,
-            method=method, noise_type=noise_type, with_time=with_time) ** 2)
+            method=method, noise_type=noise_type, with_time=with_time,
+            dispatch="fused") ** 2)
 
     args = ([(w, b) for (w, b, _) in drift.layers],
             [(w, b) for (w, b, _) in diffusion.layers], y0)
@@ -127,9 +129,9 @@ def test_fused_sdeint_grid_guard():
                                "sigmoid")])
     y0 = jnp.zeros((4, 2))
     with pytest.raises(ValueError):
-        # ts not on the dt grid
+        # ts not on the dt grid (kernel path; the XLA fallback interpolates)
         FS.fused_sdeint(drift, diffusion, y0, [0.0, 0.3, 1.0],
-                        jax.random.PRNGKey(0), 0.25)
+                        jax.random.PRNGKey(0), 0.25, dispatch="fused")
 
 
 def test_grad_of_jit():
@@ -146,7 +148,8 @@ def test_grad_of_jit():
     ts = np.linspace(0.0, 1.0, 3)
 
     jf = jax.jit(lambda y0: FS.fused_sdeint(
-        drift, diffusion, y0, ts, jax.random.PRNGKey(9), 0.5))
+        drift, diffusion, y0, ts, jax.random.PRNGKey(9), 0.5,
+        dispatch="fused"))
     g = jax.grad(lambda y0: jnp.sum(jf(y0) ** 2))(y0)
     assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.max(jnp.abs(g))) > 0
 
@@ -183,7 +186,8 @@ def test_fused_logqp_matches_sdeint(with_time, gact):
     ys_ref, kl_ref = sdeint(sde, y0, ts, method="euler", dt=dt, key=nkey,
                             logqp=True)
     ys_f, kl_f = FS.fused_sdeint_logqp(drift, prior, diffusion, y0, ts,
-                                       nkey, dt, with_time=with_time)
+                                       nkey, dt, with_time=with_time,
+                                       dispatch="fused")
     np.testing.assert_allclose(ys_f, ys_ref, atol=2e-5)
     # Near-zero g amplifies fp op-order differences in u = (f-h)/g: the KL
     # integrand itself is O(1/g^2), so compare relatively.
@@ -207,7 +211,7 @@ def test_fused_logqp_matches_sdeint(with_time, gact):
     def loss_fus(fp, hp, gp, y0):
         ys, kl = FS.fused_sdeint_logqp(
             respec(fp, facts), respec(hp, hacts), respec(gp, gacts), y0, ts,
-            nkey, dt, with_time=with_time)
+            nkey, dt, with_time=with_time, dispatch="fused")
         return jnp.sum(ys ** 2) + jnp.sum(jnp.mean(kl, axis=1))
 
     args = ([(w, b) for (w, b, _) in drift.layers],
@@ -224,3 +228,41 @@ def test_fused_logqp_matches_sdeint(with_time, gact):
             # failure mode — a wrong-sign clamp — is orders of magnitude off).
             np.testing.assert_allclose(
                 f, r, rtol=5e-3, atol=max(1e-4, 1e-5 * max(scale, 1.0)))
+
+
+def test_auto_dispatch_falls_back_identically():
+    """VERDICT r1 item 6: narrow towers auto-fall-back to the XLA scan (never
+    a slowdown) and the result is identical to sdeint — same key, bitwise
+    noise stream."""
+    key = jax.random.PRNGKey(3)
+    d = 3
+    drift = _init_tower(jax.random.fold_in(key, 1), [d, 8, d],
+                        ("softplus", "linear"))
+    diffusion = _init_tower(jax.random.fold_in(key, 2), [d, 8, d],
+                            ("lipswish", "sigmoid"))
+    assert not FS._auto_fuse(drift, diffusion)  # 128-lane padding >> 2x
+    y0 = jax.random.normal(jax.random.fold_in(key, 3), (4, d), jnp.float32)
+    ts = np.linspace(0.0, 1.0, 3)
+    nkey = jax.random.fold_in(key, 4)
+    ys_auto = FS.fused_sdeint(drift, diffusion, y0, ts, nkey, 0.5)
+    sde = FS.tower_sde(drift, diffusion, "diagonal", "ito")
+    ys_ref = sdeint(sde, y0, ts, method="euler", dt=0.5, key=nkey)
+    assert np.array_equal(np.asarray(ys_auto), np.asarray(ys_ref))
+
+    # near-lane-width towers stay on the kernel path
+    wide_f = _init_tower(jax.random.fold_in(key, 5), [128, 128, 128],
+                         ("softplus", "linear"))
+    wide_g = _init_tower(jax.random.fold_in(key, 6), [128, 128, 128],
+                         ("lipswish", "sigmoid"))
+    assert FS._auto_fuse(wide_f, wide_g)
+
+    # logqp fallback parity
+    prior = _init_tower(jax.random.fold_in(key, 7), [d, 8, d],
+                        ("softplus", "linear"))
+    ys_a, kl_a = FS.fused_sdeint_logqp(drift, prior, diffusion, y0, ts,
+                                       nkey, 0.5)
+    sde_q = FS.tower_sde(drift, diffusion, "diagonal", "ito", prior=prior)
+    ys_r, kl_r = sdeint(sde_q, y0, ts, method="euler", dt=0.5, key=nkey,
+                        logqp=True)
+    assert np.array_equal(np.asarray(ys_a), np.asarray(ys_r))
+    assert np.array_equal(np.asarray(kl_a), np.asarray(kl_r))

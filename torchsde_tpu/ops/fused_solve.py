@@ -673,8 +673,27 @@ def tower_sde(drift, diffusion, noise_type, sde_type, with_time=False,
     return _TowerSDE()
 
 
+def _padding_flop_ratio(*specs):
+    """Padded-vs-exact matmul FLOPs of the kernels' LANE-padded towers: the
+    kernel computes a (LANE, LANE) matmul per layer regardless of the exact
+    (in, out) widths."""
+    exact = sum(w.shape[0] * w.shape[1]
+                for spec in specs for (w, _, _) in spec.layers)
+    padded = sum(_LANE * _LANE for spec in specs for _ in spec.layers)
+    return padded / max(exact, 1)
+
+
+def _auto_fuse(*specs):
+    """Dispatch heuristic from the measured envelope (BENCH_NOTES.md §6):
+    the whole-solve kernels win when the towers are near lane width (little
+    padding waste); narrow SDEs lose up to 2x to the 128-lane padding while
+    XLA's exact-shape scan body is only a handful of kernels. Threshold set
+    from the v5e measurements: fuse when padding wastes < 2x the FLOPs."""
+    return _padding_flop_ratio(*specs) <= 2.0
+
+
 def fused_sdeint(drift, diffusion, y0, ts, key, dt, method="euler",
-                 noise_type="diagonal", with_time=False):
+                 noise_type="diagonal", with_time=False, dispatch="auto"):
     """Whole-solve fused `sdeint` for MLP-tower SDEs.
 
     ``drift``/``diffusion``: :class:`TowerSpec`; the diffusion tower's
@@ -688,6 +707,12 @@ def fused_sdeint(drift, diffusion, y0, ts, key, dt, method="euler",
     Fixed-step only, and the step grid must land on ``ts`` exactly (each
     output time a multiple of ``dt`` from ``t0``); output interpolation
     stays outside the kernels, as ordinary XLA.
+
+    ``dispatch``: ``'auto'`` (default) uses the Pallas kernels only where the
+    measured envelope says they win (near-lane-width towers) and otherwise
+    runs the identical solve through the XLA scan — same key, bitwise-same
+    noise stream, so the choice is purely a performance dispatch (VERDICT r1
+    item 6). ``'fused'`` / ``'xla'`` force a path.
     """
     from ..core import integrate
 
@@ -695,6 +720,15 @@ def fused_sdeint(drift, diffusion, y0, ts, key, dt, method="euler",
         raise ValueError("fused_sdeint supports euler / reversible_heun")
     if noise_type not in ("diagonal", "general"):
         raise ValueError("fused_sdeint supports diagonal / general noise")
+    if dispatch not in ("auto", "fused", "xla"):
+        raise ValueError("dispatch must be 'auto', 'fused' or 'xla'")
+    if dispatch == "xla" or (dispatch == "auto"
+                             and not _auto_fuse(drift, diffusion)):
+        from ..core.sdeint import sdeint
+        sde_type = "ito" if method == "euler" else "stratonovich"
+        sde = tower_sde(drift, diffusion, noise_type, sde_type,
+                        with_time=with_time)
+        return sdeint(sde, y0, ts, method=method, dt=dt, key=key)
     diag = noise_type == "diagonal"
     S = y0.shape[1]
     B = y0.shape[0]
@@ -928,7 +962,7 @@ def _make_euler_logqp(facts, hacts, gacts, S, with_time, dtype):
 
 
 def fused_sdeint_logqp(drift, prior, diffusion, y0, ts, key, dt,
-                       with_time=False):
+                       with_time=False, dispatch="auto"):
     """Whole-solve fused Euler logqp solve for MLP-tower SDEs: the generic
     form of the flagship latent-SDE path (SDELogqp semantics, reference
     base_sde.py:240-307 — ``u = stable_division(f - h, g)``, KL integrand
@@ -943,6 +977,16 @@ def fused_sdeint_logqp(drift, prior, diffusion, y0, ts, key, dt,
     same as the XLA path's zero diffusion row).
     """
     from ..core import integrate
+
+    if dispatch not in ("auto", "fused", "xla"):
+        raise ValueError("dispatch must be 'auto', 'fused' or 'xla'")
+    if dispatch == "xla" or (dispatch == "auto"
+                             and not _auto_fuse(drift, prior, diffusion)):
+        from ..core.sdeint import sdeint
+        sde = tower_sde(drift, diffusion, "diagonal", "ito",
+                        with_time=with_time, prior=prior)
+        return sdeint(sde, y0, ts, method="euler", dt=dt, key=key,
+                      logqp=True)
 
     S = y0.shape[1]
     B = y0.shape[0]

