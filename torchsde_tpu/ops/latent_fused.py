@@ -112,28 +112,38 @@ def _forward_core(z, ctx, w, L, C):
     """Shared forward math on VMEM values: returns (f, h, g, u) plus the
     activations the backward needs. 4 matmuls per step (was 8): layer 1 of
     all towers is ONE (B, in) @ (in, 2*LANE + L*LANE) product, f/h layers
-    2-3 are block-diagonal pairs."""
+    2-3 are block-diagonal pairs.
+
+    Mixed precision: matmul INPUTS are cast to the weights' dtype (bf16
+    weights drive the MXU's bf16 path), accumulation and all pointwise math
+    stay float32 (``preferred_element_type``); the state carry outside is
+    float32 regardless. With f32 weights every cast is a no-op."""
     B = z.shape[0]
+    cdt = w["W1all"].dtype
     x = jnp.concatenate(
-        [z, ctx, jnp.zeros((B, _LANE - L - C), z.dtype)], axis=1)
+        [z, ctx.astype(z.dtype),
+         jnp.zeros((B, _LANE - L - C), z.dtype)], axis=1)
     # Backward derives softplus'(pre) = sigmoid(pre) = 1 - exp(-softplus(pre))
     # from the ACTIVATIONS alone, so pre-activations are never materialised.
     a1all = jax.nn.softplus(
-        jnp.dot(x, w["W1all"], preferred_element_type=jnp.float32)
-        + w["b1all"])
+        jnp.dot(x.astype(cdt), w["W1all"], preferred_element_type=jnp.float32)
+        + w["b1all"].astype(jnp.float32))
     a1fh = a1all[:, :_FH]
     a1g = a1all[:, _FH:]
     a2fh = jax.nn.softplus(
-        jnp.dot(a1fh, w["W2fh"], preferred_element_type=jnp.float32)
-        + w["b2fh"])
-    l3 = jnp.dot(a2fh, w["W3fh"], preferred_element_type=jnp.float32) \
-        + w["b3fh"]
+        jnp.dot(a1fh.astype(cdt), w["W2fh"],
+                preferred_element_type=jnp.float32)
+        + w["b2fh"].astype(jnp.float32))
+    l3 = jnp.dot(a2fh.astype(cdt), w["W3fh"],
+                 preferred_element_type=jnp.float32) \
+        + w["b3fh"].astype(jnp.float32)
     f = l3[:, :L]
     h = l3[:, _LANE:_LANE + L]
 
     gfull = jax.nn.sigmoid(
-        jnp.dot(a1g, w["W2g"], preferred_element_type=jnp.float32)
-        + w["b2g"])
+        jnp.dot(a1g.astype(cdt), w["W2g"],
+                preferred_element_type=jnp.float32)
+        + w["b2g"].astype(jnp.float32))
     g = gfull[:, :L]
 
     big = g > _EPS
@@ -157,9 +167,9 @@ def _fwd_kernel(z0_ref, ctx_ref, noise_ref, dts_ref, *wrefs, zs_ref, qs_ref,
     dt = dts_ref[n, 0]
     f, h, g, u, _ = _forward_core(z, ctx_ref[0], w, L, C)
     q_s[...] = q_s[...] + 0.5 * jnp.sum(u * u, axis=1, keepdims=True) * dt
-    z_s[...] = z + f * dt + g * noise_ref[0]
-    zs_ref[0] = z_s[...]
-    qs_ref[0] = q_s[...]
+    z_s[...] = z + f * dt + g * noise_ref[0].astype(z.dtype)
+    zs_ref[0] = z_s[...].astype(zs_ref.dtype)
+    qs_ref[0] = q_s[...].astype(qs_ref.dtype)
 
 
 def _bwd_kernel(z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref,
@@ -174,20 +184,21 @@ def _bwd_kernel(z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref,
         for dref in dw_refs.values():
             dref[...] = jnp.zeros_like(dref)
 
-    z = z_pre_ref[0]
+    z = z_pre_ref[0].astype(dz_s.dtype)
     ctx = ctx_ref[0]
-    dW = noise_ref[0]
     dt = dts_ref[r_, 0]
     f, h, g, u, a = _forward_core(z, ctx, w, L, C)
     gs, big, gfull = a["gs"], a["big"], a["gfull"]
     a1all, a2fh, x = a["a1all"], a["a2fh"], a["x"]
     a1g = a1all[:, _FH:]
+    cdt = w["W1all"].dtype           # matmul-input dtype (bf16 in mixed mode)
+    dW = noise_ref[0].astype(z.dtype)
 
     # Incoming cotangents: gz for the post-step state, gq for this step's
     # logqp increment (already reverse-accumulated by the wrapper).
-    dz = dz_s[...] + gz_ref[0]
-    dnoise_ref[0] = dz * g
-    du = gq_ref[0] * u * dt
+    dz = dz_s[...] + gz_ref[0].astype(z.dtype)
+    dnoise_ref[0] = (dz * g).astype(dnoise_ref.dtype)
+    du = gq_ref[0].astype(z.dtype) * u * dt
     df = dz * dt + du / gs
     dh = -du / gs
     # Only the u-path is clamped by stable_division (du/dg = 0 where
@@ -202,36 +213,43 @@ def _bwd_kernel(z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref,
         return 1.0 - jnp.exp(-act)
 
     # f/h towers, merged: dl3 carries [dffull | dhfull] through the two
-    # block-diagonal layers in one matmul each.
+    # block-diagonal layers in one matmul each. Matmul inputs are cast to the
+    # weights' dtype (MXU bf16 path in mixed mode); the dw_refs accumulators
+    # are float32 regardless.
     dl3 = jnp.concatenate([df, zcols, dh, zcols], axis=1)       # (B, 2*LANE)
-    dw_refs["W3fh"][...] += jnp.dot(a2fh.T, dl3,
+    dw_refs["W3fh"][...] += jnp.dot(a2fh.astype(cdt).T, dl3.astype(cdt),
                                     preferred_element_type=jnp.float32)
     dw_refs["b3fh"][...] += jnp.sum(dl3, axis=0, keepdims=True)
-    da2fh = jnp.dot(dl3, w["W3fh"].T, preferred_element_type=jnp.float32)
+    da2fh = jnp.dot(dl3.astype(cdt), w["W3fh"].T,
+                    preferred_element_type=jnp.float32)
     dpre2fh = da2fh * dsoftplus(a2fh)
-    dw_refs["W2fh"][...] += jnp.dot(a1all[:, :_FH].T, dpre2fh,
+    dw_refs["W2fh"][...] += jnp.dot(a1all[:, :_FH].astype(cdt).T,
+                                    dpre2fh.astype(cdt),
                                     preferred_element_type=jnp.float32)
     dw_refs["b2fh"][...] += jnp.sum(dpre2fh, axis=0, keepdims=True)
-    da1fh = jnp.dot(dpre2fh, w["W2fh"].T, preferred_element_type=jnp.float32)
+    da1fh = jnp.dot(dpre2fh.astype(cdt), w["W2fh"].T,
+                    preferred_element_type=jnp.float32)
 
     # g net (sigmoid output)
     dgfull = jnp.concatenate([dg, zcols], axis=1)
     dpre2g = dgfull * gfull * (1.0 - gfull)
-    dw_refs["W2g"][...] += jnp.dot(a1g.T, dpre2g,
+    dw_refs["W2g"][...] += jnp.dot(a1g.astype(cdt).T, dpre2g.astype(cdt),
                                    preferred_element_type=jnp.float32)
     dw_refs["b2g"][...] += jnp.sum(dpre2g, axis=0, keepdims=True)
-    da1g = jnp.dot(dpre2g, w["W2g"].T, preferred_element_type=jnp.float32)
+    da1g = jnp.dot(dpre2g.astype(cdt), w["W2g"].T,
+                   preferred_element_type=jnp.float32)
 
     # merged layer 1
     da1all = jnp.concatenate([da1fh, da1g], axis=1)
     dpre1all = da1all * dsoftplus(a1all)
-    dw_refs["W1all"][...] += jnp.dot(x.T, dpre1all,
+    dw_refs["W1all"][...] += jnp.dot(x.astype(cdt).T, dpre1all.astype(cdt),
                                      preferred_element_type=jnp.float32)
     dw_refs["b1all"][...] += jnp.sum(dpre1all, axis=0, keepdims=True)
-    dx = jnp.dot(dpre1all, w["W1all"].T, preferred_element_type=jnp.float32)
+    dx = jnp.dot(dpre1all.astype(cdt), w["W1all"].T,
+                 preferred_element_type=jnp.float32)
 
     dz_s[...] = dz + dx[:, :L]
-    dctx_ref[0] = dx[:, L:L + C]
+    dctx_ref[0] = dx[:, L:L + C].astype(dctx_ref.dtype)
 
     @pl.when(r_ == n_total - 1)
     def _():
@@ -274,7 +292,9 @@ def _fused_solve_fwd_impl(weights, z0, ctx_steps, noise, dts, interpret=None):
             pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, B, L), z0.dtype),
+            # zs streams in the weights' dtype (halved HBM traffic in bf16
+            # mixed mode); the running KL sum qs stays in the f32 state dtype.
+            jax.ShapeDtypeStruct((n, B, L), weights["W1all"].dtype),
             jax.ShapeDtypeStruct((n, B, 1), z0.dtype),
         ],
         scratch_shapes=[
@@ -298,12 +318,14 @@ def _fused_solve_bwd_impl(weights, z0, ctx_steps, noise, dts, zs, gz, gq,
     interpret = _INTERPRET if interpret is None else interpret
     n, B, C = ctx_steps.shape
     L = z0.shape[1]
+    wdt = weights["W1all"].dtype
     # Cotangents may be weak/promoted dtypes (e.g. f64 under jax_enable_x64);
-    # the kernel's refs are in the solve dtype.
-    gz = jnp.asarray(gz, z0.dtype)
+    # the kernel's refs are in the stream dtype (gz) / state dtype (gq).
+    gz = jnp.asarray(gz, wdt)
     gq = jnp.asarray(gq, z0.dtype)
-    # Pre-step states, reverse-accumulated logqp cotangents, flipped streams.
-    z_pre = jnp.concatenate([z0[None], zs[:-1]], axis=0)
+    # Pre-step states in the f32 state dtype, reverse-accumulated logqp
+    # cotangents, flipped streams.
+    z_pre = jnp.concatenate([z0[None], jnp.asarray(zs[:-1], z0.dtype)], axis=0)
     ginc = jnp.cumsum(gq[::-1], axis=0)[::-1]          # (n, B, 1)
     flip = lambda a: a[::-1]                           # noqa: E731
 
@@ -324,7 +346,10 @@ def _fused_solve_bwd_impl(weights, z0, ctx_steps, noise, dts, zs, gz, gq,
 
     step_spec = lambda d: pl.BlockSpec((1, B, d), lambda i: (i, 0, 0),  # noqa: E731
                                        memory_space=pltpu.VMEM)
-    dw_shapes = [jax.ShapeDtypeStruct(weights[k].shape, weights[k].dtype)
+    # Weight-gradient accumulators are float32 regardless of the weights'
+    # dtype: 128 steps of += in bf16 would truncate badly. Cast back to the
+    # primal dtype after the kernel (custom_vjp cotangent-dtype contract).
+    dw_shapes = [jax.ShapeDtypeStruct(weights[k].shape, jnp.float32)
                  for k in _WNAMES]
     out = pl.pallas_call(
         kern,
@@ -344,8 +369,8 @@ def _fused_solve_bwd_impl(weights, z0, ctx_steps, noise, dts, zs, gz, gq,
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_w,
         out_shape=[
             jax.ShapeDtypeStruct((B, L), z0.dtype),
-            jax.ShapeDtypeStruct((n, B, C), z0.dtype),
-            jax.ShapeDtypeStruct((n, B, L), z0.dtype),
+            jax.ShapeDtypeStruct((n, B, C), ctx_steps.dtype),
+            jax.ShapeDtypeStruct((n, B, L), noise.dtype),
         ] + dw_shapes,
         scratch_shapes=[pltpu.VMEM((B, L), z0.dtype)],
         compiler_params=_cparams(),
@@ -354,7 +379,8 @@ def _fused_solve_bwd_impl(weights, z0, ctx_steps, noise, dts, zs, gz, gq,
       flip(gz), flip(ginc), *[weights[k] for k in _WNAMES])
 
     dz0, dctx_flipped, dnoise_flipped = out[0], out[1], out[2]
-    dweights = dict(zip(_WNAMES, out[3:3 + n_w]))
+    dweights = {k: jnp.asarray(dw, weights[k].dtype)
+                for k, dw in zip(_WNAMES, out[3:3 + n_w])}
     return dweights, dz0, flip(dctx_flipped), flip(dnoise_flipped)
 
 
@@ -391,11 +417,15 @@ def latent_logqp_solve_fused(model, z0, ts, key, dt):
     if L + C + 1 > _LANE:
         raise ValueError(f"latent+context must fit one lane tile: "
                          f"L + C <= {_LANE - 1} (got {L} + {C})")
-    # The kernel computes in the weights' dtype (f32 on the MXU). Casting
-    # here — outside the custom_vjp boundary — keeps mixed-precision callers
-    # working: autodiff maps the cotangents back through the casts.
+    # Matmuls run in the weights' dtype (bf16 weights drive the MXU's bf16
+    # path and halve the per-step HBM streams); the state carry, KL channel
+    # and weight-gradient accumulators stay float32 — standard mixed
+    # precision. Casting here — outside the custom_vjp boundary — keeps
+    # mixed-precision callers working: autodiff maps the cotangents back
+    # through the casts.
     wdtype = model.f_net.layers[0].w.dtype
-    z0 = jnp.asarray(z0, wdtype)
+    sdtype = jnp.float32 if wdtype == jnp.bfloat16 else wdtype
+    z0 = jnp.asarray(z0, sdtype)
     ts_np = np.asarray(ts, np.float64)
     grid = integrate.build_step_grid(ts_np[0], ts_np[-1], dt)
 
@@ -404,8 +434,9 @@ def latent_logqp_solve_fused(model, z0, ts, key, dt):
     # brownian/interval.py:128): the logqp wrapper augments the diagonal
     # state with one channel, so the default bm has size (B, L+1); the
     # kernel consumes the first L channels (the logqp channel's diffusion
-    # is zero).
-    W, _, _ = integrate.sample_grid_noise(key, grid, (B, L + 1), z0.dtype)
+    # is zero). In bf16 mixed mode the stream is sampled in bf16 — the same
+    # stream a fully-bf16 XLA solve would draw (bm dtype follows y0).
+    W, _, _ = integrate.sample_grid_noise(key, grid, (B, L + 1), wdtype)
     noise = W[..., :L]
 
     # Per-step context rows: the model looks ctx up by time with
