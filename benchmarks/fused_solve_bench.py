@@ -55,20 +55,30 @@ def measure(method, B, d, hidden, n_steps):
     xla = lambda y: sdeint(sde, y, ts, method=method, dt=dt,  # noqa: E731
                            key=nkey)
     fus = lambda y: FS.fused_sdeint(drift, diffusion, y, ts, nkey,  # noqa: E731
-                                    dt, method=method)
+                                    dt, method=method, dispatch="fused")
+    auto = lambda y: FS.fused_sdeint(drift, diffusion, y, ts, nkey,  # noqa: E731
+                                     dt, method=method, dispatch="auto")
     t_xla = chain(mkloss(xla))
     t_fus = chain(mkloss(fus))
+    t_auto = chain(mkloss(auto))
     return dict(method=method, batch=B, d=d, hidden=hidden, steps=n_steps,
+                auto_fuses=FS._auto_fuse(drift, diffusion),
                 xla_grad_ms=round(t_xla, 2), fused_grad_ms=round(t_fus, 2),
-                speedup=round(t_xla / t_fus, 2))
+                auto_grad_ms=round(t_auto, 2),
+                fused_speedup=round(t_xla / t_fus, 2),
+                auto_speedup=round(t_xla / t_auto, 2))
 
 
 def main():
     for cfg in (dict(method="euler", B=1024, d=8, hidden=64, n_steps=128),
                 dict(method="euler", B=4096, d=32, hidden=128, n_steps=128),
                 dict(method="reversible_heun", B=1024, d=8, hidden=64,
+                     n_steps=128),
+                # near-lane-width towers: the region dispatch='auto' fuses
+                dict(method="euler", B=1024, d=128, hidden=128, n_steps=128),
+                dict(method="reversible_heun", B=1024, d=128, hidden=128,
                      n_steps=128)):
-        print(json.dumps(measure(**cfg)))
+        print(json.dumps(measure(**cfg)), flush=True)
 
 
 if __name__ == "__main__":
