@@ -32,7 +32,7 @@ T_SIZE = 32
 T1 = 1.0
 DT = 1.0 / 128
 N_STEPS = 48
-TPU_TIMEOUT_S = 560
+TPU_TIMEOUT_S = 840
 
 
 def bench_ours(platform=None, adjoint=False):
