@@ -49,6 +49,9 @@ CASES = [
     ("euler", "ito", "general", 3, 2, True, 3),
     ("reversible_heun", "stratonovich", "diagonal", 4, 4, False, 2),
     ("reversible_heun", "stratonovich", "general", 3, 2, True, 2),
+    # exact lane width: no padding columns at all (zero-width-concat
+    # regression — Mosaic rejects zero-size vectors; round-2 fix)
+    ("euler", "ito", "diagonal", 128, 128, False, 2),
 ]
 
 

@@ -291,6 +291,11 @@ def test_traced_ts_fixed_step():
     with pytest.raises(ValueError):
         jax.jit(lambda ts: tsde.sdeint(sde, y0, ts, dt=0.05,
                                        method="euler"))(ts1)
+    # sdeint_adjoint steps exactly to each output time, so its step grid
+    # depends on the concrete schedule: traced ts raises cleanly.
+    with pytest.raises(ValueError, match="sdeint_adjoint"):
+        jax.jit(lambda ts: tsde.sdeint_adjoint(sde, y0, ts, bm=bm, dt=0.05,
+                                               method="euler"))(ts1)
 
 
 @pytest.mark.parametrize("method,sde_type,expected_per_step", [

@@ -468,6 +468,11 @@ def sdeint_adjoint(sde,
 
     sde, y0, ts, bm, method, options = sdeint_mod.check_contract(
         sde, y0, ts, bm, method, adaptive, options, names, logqp, key, entropy)
+    if isinstance(ts, jax.core.Tracer):
+        raise ValueError(
+            "Traced `ts` is supported by `sdeint` (fixed-step, explicit bm) "
+            "but not `sdeint_adjoint`: the adjoint steps exactly to each "
+            "output time, so its step grid depends on the concrete schedule.")
     adjoint_method = _select_default_adjoint_method(sde, method, adjoint_method)
     adjoint_options = {} if adjoint_options is None else dict(adjoint_options)
 

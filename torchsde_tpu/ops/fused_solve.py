@@ -179,14 +179,24 @@ def _tile_mats(s, m):
     return T, S, E, np.ascontiguousarray(T.T)
 
 
+def _pad_cols(arr, total=_LANE):
+    """Zero-pad columns up to ``total`` lanes; no-op at exactly-full width
+    (Mosaic rejects zero-size vectors)."""
+    B, n = arr.shape
+    if n >= total:
+        return arr
+    return jnp.concatenate([arr, jnp.zeros((B, total - n), arr.dtype)], axis=1)
+
+
 def _build_x(t, y, S, with_time):
     B = y.shape[0]
     cols = [y]
     if with_time:
         cols = [jnp.full((B, 1), t, y.dtype)] + cols
     used = S + (1 if with_time else 0)
-    cols.append(jnp.zeros((B, _LANE - used), y.dtype))
-    return jnp.concatenate(cols, axis=1)
+    if used < _LANE:  # Mosaic rejects zero-width vectors at exactly-full lanes
+        cols.append(jnp.zeros((B, _LANE - used), y.dtype))
+    return cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
 
 
 def _slice_dy(dx, S, with_time):
@@ -265,7 +275,7 @@ def _euler_bwd_kernel(ypre_ref, noise_ref, t0s_ref, dts_ref, gy_ref, *rest,
         g = gout[:, :S]
         dnoise_ref[0] = dy * g
         dg = dy * dW
-        dgp = jnp.concatenate([dg, jnp.zeros((B, _LANE - S), dtype)], axis=1)
+        dgp = _pad_cols(dg)
     else:
         gmat = gout[:, :S * m]
         dWt = jnp.dot(dW, tm[...], preferred_element_type=jnp.float32)
@@ -273,10 +283,9 @@ def _euler_bwd_kernel(ypre_ref, noise_ref, t0s_ref, dts_ref, gy_ref, *rest,
         dnoise_ref[0] = jnp.dot(dyE * gmat, tt[...],
                                 preferred_element_type=jnp.float32)[:, :m]
         dg = dyE * dWt
-        dgp = jnp.concatenate(
-            [dg, jnp.zeros((B, _LANE - S * m), dtype)], axis=1)
+        dgp = _pad_cols(dg)
 
-    dfp = jnp.concatenate([df, jnp.zeros((B, _LANE - S), dtype)], axis=1)
+    dfp = _pad_cols(df)
     dx = _tower_bwd(dfp, fcache, x, fw, facts, dfw)
     dx += _tower_bwd(dgp, gcache, x, gw, gacts, dgw)
     dy_s[...] = dy + _slice_dy(dx, S, with_time)
@@ -386,9 +395,8 @@ def _rh_bwd_kernel(zs_ref, noise_ref, gy_ref, gnext_ref, gcur_ref,
     fout, fcache = _tower_fwd(x, fw, facts)
     gout, gcache = _tower_fwd(x, gw, gacts)
 
-    dAfp = jnp.concatenate([Af, jnp.zeros((B, _LANE - S), dtype)], axis=1)
-    dAgp = jnp.concatenate(
-        [Ag, jnp.zeros((B, _LANE - gwidth), dtype)], axis=1)
+    dAfp = _pad_cols(Af)
+    dAgp = _pad_cols(Ag)
     dx = _tower_bwd(dAfp, fcache, x, fw, facts, dfw)
     dx += _tower_bwd(dAgp, gcache, x, gw, gacts, dgw)
     Az = az_s[...] + _slice_dy(dx, S, with_time)
@@ -872,13 +880,9 @@ def _euler_logqp_bwd_kernel(ypre_ref, noise_ref, t0s_ref, dts_ref, gy_ref,
     # is never masked (latent_fused.py / code-review r4 finding)
     dg = dy * dW - (du * u / gs) * big.astype(dtype)
 
-    zc = jnp.zeros((B, _LANE - S), dtype)
-    dx = _tower_bwd(jnp.concatenate([df, zc], axis=1), fcache, x, fw,
-                    facts, dfw)
-    dx += _tower_bwd(jnp.concatenate([dh, zc], axis=1), hcache, x, hw,
-                     hacts, dhw)
-    dx += _tower_bwd(jnp.concatenate([dg, zc], axis=1), gcache, x, gw,
-                     gacts, dgw)
+    dx = _tower_bwd(_pad_cols(df), fcache, x, fw, facts, dfw)
+    dx += _tower_bwd(_pad_cols(dh), hcache, x, hw, hacts, dhw)
+    dx += _tower_bwd(_pad_cols(dg), gcache, x, gw, gacts, dgw)
     dy_s[...] = dy + _slice_dy(dx, S, with_time)
 
     @pl.when(r == n_total - 1)
