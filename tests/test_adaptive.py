@@ -170,7 +170,8 @@ def test_facmax_growth_step_count():
                            return_stats=True)
     assert int(stats["n_rejected"]) == 0
     assert int(stats["n_accepted"]) == _controller_steps(1.0, dt0)
-    assert int(stats["nfe"]) == 3 * int(stats["n_accepted"])
+    # 3 step evaluations per attempt (full + 2 halves), euler = 2 evals/step.
+    assert int(stats["nfe"]) == 3 * 2 * int(stats["n_accepted"])
     assert not bool(stats["incomplete"])
 
 
@@ -220,7 +221,9 @@ def test_fixed_step_stats():
     ts = jnp.linspace(0.0, 1.0, 5)
     _, stats = tsde.sdeint(sde, y0, ts, dt=0.01, method="milstein", entropy=0,
                            return_stats=True)
-    assert stats["n_accepted"] == 100 and stats["nfe"] == 100
+    # grad-based milstein: f + the vjp bracket's primal g = 2 evals/step
+    # (exact accounting, tests/test_sdeint.py::test_nfe_exact_accounting).
+    assert stats["n_accepted"] == 100 and stats["nfe"] == 200
     assert stats["n_rejected"] == 0 and stats["incomplete"] is False
 
 

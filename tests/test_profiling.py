@@ -40,9 +40,10 @@ def test_nfe_counter_fixed_vs_adaptive():
     ts = jnp.linspace(0.0, 0.2, 3)
     _, st_fixed = tsde.sdeint(_SDE(), y0, ts, method="euler", dt=0.01,
                               entropy=0, return_stats=True)
-    assert st_fixed["nfe"] == 20  # static: ceil(0.2/0.01) solver.step calls
+    # 20 steps x euler's 2 vector-field evals per step (exact accounting).
+    assert st_fixed["nfe"] == 40
     _, st_ad = tsde.sdeint(_SDE(), y0, ts, method="euler", dt=0.05,
                            adaptive=True, rtol=1e-3, atol=1e-4, entropy=0,
                            return_stats=True)
     n_att = int(st_ad["n_accepted"]) + int(st_ad["n_rejected"])
-    assert int(st_ad["nfe"]) == 3 * n_att > 0
+    assert int(st_ad["nfe"]) == 3 * 2 * n_att > 0
