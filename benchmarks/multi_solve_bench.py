@@ -38,6 +38,10 @@ def main():
     p.add_argument("--quick", action="store_true",
                    help="small config for a smoke run")
     p.add_argument("--steps", type=int, default=24)
+    p.add_argument("--K", type=str, default="1,2,4,8",
+                   help="comma-separated replica counts")
+    p.add_argument("--dtypes", type=str, default="float32,bfloat16")
+    p.add_argument("--paths", type=str, default="xla,fused")
     args = p.parse_args()
 
     import jax
@@ -91,10 +95,15 @@ def main():
     print(f"{'K':>3} {'dtype':>9} {'path':>6} {'agg steps/s':>12} "
           f"{'per-replica':>12} {'scaling':>8}")
 
-    for fused in ([False] if platform == "cpu" else [False, True]):
-        for dtype in (jnp.float32, jnp.bfloat16):
+    paths = [p_ == "fused" for p_ in args.paths.split(",")]
+    if platform == "cpu":
+        paths = [False]
+    dtypes = [jnp.dtype(d).type for d in args.dtypes.split(",")]
+    Ks = [int(k) for k in args.K.split(",")]
+    for fused in paths:
+        for dtype in dtypes:
             base = None
-            for K in (1, 2, 4, 8):
+            for K in Ks:
                 try:
                     agg = bench_config(K, dtype, fused, args.steps)
                 except Exception as e:
