@@ -223,3 +223,48 @@ def test_stacked_replicas_match_independent_training():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=1e-6)
     assert bool(jnp.all(jnp.isfinite(losses2)))
+
+
+def test_replicas_sharded_over_mesh():
+    """Replica-axis parallelism: the stacked-replica training step with the
+    K axis sharded over the 8-device mesh must match the single-device
+    vmapped run (independent chains — no cross-replica communication, so
+    GSPMD runs each device's replicas locally). This is the compile+run
+    validation behind 'multi-chip scales the aggregate multi-replica
+    throughput' (BENCH_NOTES §8)."""
+    from torchsde_tpu.models.latent_sde import LatentSDE, latent_sde_loss
+    from torchsde_tpu.parallel import replicas as R
+
+    key = jax.random.PRNGKey(9)
+    T, B, DATA, K = 4, 8, 3, 8
+    ts = jnp.linspace(0.0, 1.0, T)
+    xs = jax.random.normal(jax.random.fold_in(key, 1), (T, B, DATA))
+
+    def make(k):
+        return LatentSDE(k, DATA, 2, 8, 16)
+
+    def loss_fn(model, batch, k):
+        loss, _ = latent_sde_loss(model, batch, ts, k, dt=0.25)
+        return loss
+
+    mkeys = jax.random.split(jax.random.fold_in(key, 2), K)
+    skeys = jax.random.split(jax.random.fold_in(key, 4), K)
+    batches = jnp.broadcast_to(xs, (K,) + xs.shape)
+
+    models = R.stack_replicas(make, mkeys)
+    step = R.replica_train_step(loss_fn, lr=1e-6)
+    _, losses_single = step(models, batches, skeys)
+
+    m = pmesh.make_mesh()
+    models_sh = pmesh.shard_batch(models, m)       # replica axis over devices
+    batches_sh = pmesh.shard_batch(batches, m)
+    skeys_sh = pmesh.shard_batch(skeys, m)
+    models2, losses_sh = step(models_sh, batches_sh, skeys_sh)
+
+    np.testing.assert_allclose(np.asarray(losses_sh),
+                               np.asarray(losses_single), rtol=1e-6)
+    # The updated models keep the replica axis partitioned (no silent
+    # all-gather of independent replicas).
+    w = models2.projector.w
+    if not w.is_fully_addressable or len(jax.devices()) >= 8:
+        assert not w.sharding.is_fully_replicated
