@@ -42,6 +42,10 @@ def main():
                    help="comma-separated replica counts")
     p.add_argument("--dtypes", type=str, default="float32,bfloat16")
     p.add_argument("--paths", type=str, default="xla,fused")
+    p.add_argument("--remat", action="store_true",
+                   help="checkpoint the solver scan body (sdeint remat=True): "
+                        "O(states) instead of O(activations) residuals, "
+                        "unlocking larger K")
     args = p.parse_args()
 
     import jax
@@ -67,7 +71,9 @@ def main():
         models = jax.vmap(make)(jax.random.split(key, K))
 
         def loss_one(model, k):
-            loss, _ = latent_sde_loss(model, xs, ts, k, dt=DT, fused=fused)
+            kw = dict(remat=True) if (args.remat and not fused) else {}
+            loss, _ = latent_sde_loss(model, xs, ts, k, dt=DT, fused=fused,
+                                      **kw)
             return loss
 
         @jax.jit

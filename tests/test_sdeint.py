@@ -256,6 +256,39 @@ def test_adaptive():
     assert bool(jnp.all(jnp.isfinite(ans)))
 
 
+def test_remat_gradients_match():
+    """`remat=True` (checkpointed scan body) must leave values untouched and
+    reproduce backprop-through-solver gradients — it only changes what the
+    backward pass stores vs recomputes."""
+    sde = problems.NeuralDiagonal(d=3, sde_type="ito")
+    y0 = jnp.full((4, 3), 0.1, DTYPE)
+    ts = np.linspace(0.0, 0.5, 4)
+
+    def loss(sde_, y0_, remat):
+        ys = tsde.sdeint(sde_, y0_, ts, method="milstein", dt=0.05,
+                         entropy=3, remat=remat)
+        return jnp.sum(ys ** 2)
+
+    v0 = loss(sde, y0, False)
+    v1 = loss(sde, y0, True)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=0, atol=0)
+
+    g0 = jax.grad(loss, argnums=(0, 1))(sde, y0, False)
+    g1 = jax.grad(loss, argnums=(0, 1))(sde, y0, True)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-12)
+
+    # logqp + remat under jit (the flagship training-path combination).
+    lq = jax.jit(lambda s: jnp.sum(tsde.sdeint(
+        s, y0, ts, method="euler", dt=0.05, logqp=True, entropy=3,
+        remat=True)[1]))
+    glq = jax.grad(lq)(sde)
+    assert all(bool(jnp.isfinite(g).all())
+               for g in jax.tree_util.tree_leaves(glq))
+
+
 def test_traced_ts_fixed_step():
     """VERDICT r1 item 3 (round 2): `ts` may be a traced array under jit for
     fixed-step solves when an explicit bm provides the static solve range

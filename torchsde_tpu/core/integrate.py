@@ -157,12 +157,20 @@ def linear_interp_on_grid(out_ts, grid, ys_grid):
 
 
 def integrate_fixed(solver, y0, extra0, grid, ts, bm=None, noise_xs=None,
-                    time_dtype=None, unroll=1):
+                    time_dtype=None, unroll=1, remat=False):
     """Fixed-step solve over ``grid``, interpolated onto ``ts``.
 
     Exactly one of ``bm`` (queried per step inside the scan) or ``noise_xs``
     (a precomputed ``(W, U, A)`` triple with leading dim ``len(grid)-1``) must
     drive the noise.
+
+    ``remat=True`` wraps the scan body in :func:`jax.checkpoint`: reverse-mode
+    differentiation then stores only the per-step carry ``(y, extra)`` and
+    recomputes the step's internal activations in the backward pass. This
+    cuts backprop-through-solver residual memory from O(n_steps x step
+    activations) — which for neural vector fields dwarfs the states — to
+    O(n_steps x state), at the cost of one extra forward evaluation per step
+    during the backward sweep.
 
     Returns ``(ys, extra_final)`` with ``ys`` a pytree whose leaves have
     leading dimension ``len(ts)``.
@@ -198,6 +206,8 @@ def integrate_fixed(solver, y0, extra0, grid, ts, bm=None, noise_xs=None,
             y1, extra1 = solver.step(t0, t1, y, extra, noise)
             return (y1, extra1), y1
 
+    if remat:
+        body = jax.checkpoint(body)
     (_, extra_final), ys_steps = jax.lax.scan(body, (y0, extra0), xs,
                                               unroll=unroll)
     ys_grid = jax.tree_util.tree_map(

@@ -48,6 +48,7 @@ def sdeint(sde,
            max_steps=None,
            return_stats=False,
            unroll=1,
+           remat=False,
            **unused_kwargs):
     """Numerically integrate an SDE. See reference sdeint.py:27-89 for the
     contract; this implementation is jit-compatible end to end.
@@ -71,6 +72,14 @@ def sdeint(sde,
       dominates: unroll=8 measured 1.3x on a trivial-body 128-step scan);
       neural drift/diffusion steps are compute-bound and see no gain
       (BENCH_NOTES.md). Ignored by adaptive solves.
+    * ``remat``: checkpoint the fixed-step scan body (``jax.checkpoint``).
+      Backprop-through-solver then keeps only per-step states and recomputes
+      step activations in the backward sweep — O(n_steps x state) residual
+      memory instead of O(n_steps x activations), for one extra forward
+      evaluation per step. The memory-lean alternative to ``sdeint_adjoint``
+      when exact backprop-through-discretisation gradients are wanted.
+      Ignored by adaptive solves (their differentiated form has its own
+      bounded-scan structure).
     """
     misc.handle_unused_kwargs(unused_kwargs, msg="`sdeint`")
     del unused_kwargs
@@ -90,7 +99,7 @@ def sdeint(sde,
 
     ys, extra_solver_state, stats = _integrate(
         solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol, dt_min,
-        extra_solver_state, rng_impl, max_steps, unroll)
+        extra_solver_state, rng_impl, max_steps, unroll, remat)
     return parse_return(y0, ys, extra_solver_state, extra, logqp,
                         stats=stats, return_stats=return_stats)
 
@@ -139,7 +148,7 @@ def warn_if_coarser_than_dt_min(bm_obj, dt_min):
 
 def _integrate(solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol,
                dt_min, extra_solver_state, rng_impl="threefry", max_steps=None,
-               unroll=1):
+               unroll=1, remat=False):
     time_dtype = _time_dtype(y0)
     ts_traced = isinstance(ts, jax.core.Tracer)
     if adaptive:
@@ -183,7 +192,7 @@ def _integrate(solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol,
                  nfe=n_steps * solver.nfe_per_step, incomplete=False)
     ys, extra_out = integrate.integrate_fixed(
         solver, y0, extra_solver_state, grid, ts, noise_xs=noise_xs,
-        time_dtype=time_dtype, unroll=unroll)
+        time_dtype=time_dtype, unroll=unroll, remat=remat)
     return ys, extra_out, stats
 
 
