@@ -52,7 +52,8 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    from torchsde_tpu.models.latent_sde import LatentSDE, latent_sde_loss
+    from torchsde_tpu.models.latent_sde import (LatentSDE, latent_sde_loss,
+                                                latent_sde_loss_multi)
 
     global BATCH, T_SIZE
     if args.quick:
@@ -71,16 +72,24 @@ def main():
         models = jax.vmap(make)(jax.random.split(key, K))
 
         def loss_one(model, k):
-            kw = dict(remat=True) if (args.remat and not fused) else {}
-            loss, _ = latent_sde_loss(model, xs, ts, k, dt=DT, fused=fused,
-                                      **kw)
+            kw = dict(remat=True) if (args.remat and fused == "xla") else {}
+            loss, _ = latent_sde_loss(model, xs, ts, k, dt=DT,
+                                      fused=fused == "fused", **kw)
             return loss
 
         @jax.jit
         def step(models, i):
             ks = jax.vmap(lambda j: jax.random.fold_in(
                 jax.random.fold_in(key, 7), i * K + j))(jnp.arange(K))
-            losses, grads = jax.vmap(jax.value_and_grad(loss_one))(models, ks)
+            if fused == "fused_multi":
+                # K-unrolled whole-solve kernels: the K chains interleave
+                # INSIDE one pallas_call (vmap of pallas_call serialises).
+                (_, losses), grads = jax.value_and_grad(
+                    lambda m: latent_sde_loss_multi(m, xs, ts, ks, dt=DT),
+                    has_aux=True)(models)
+            else:
+                losses, grads = jax.vmap(
+                    jax.value_and_grad(loss_one))(models, ks)
             models = jax.tree_util.tree_map(
                 lambda p_, g_: p_ - jnp.asarray(1e-4, p_.dtype) * g_,
                 models, grads)
@@ -98,12 +107,12 @@ def main():
     platform = jax.devices()[0].platform
     print(f"platform {platform}; batch {BATCH}, T {T_SIZE}, dt 1/128, "
           f"hidden {HIDDEN} (flagship config)")
-    print(f"{'K':>3} {'dtype':>9} {'path':>6} {'agg steps/s':>12} "
+    print(f"{'K':>3} {'dtype':>9} {'path':>11} {'agg steps/s':>12} "
           f"{'per-replica':>12} {'scaling':>8}")
 
-    paths = [p_ == "fused" for p_ in args.paths.split(",")]
+    paths = args.paths.split(",")
     if platform == "cpu":
-        paths = [False]
+        paths = ["xla"]
     dtypes = [jnp.dtype(d).type for d in args.dtypes.split(",")]
     Ks = [int(k) for k in args.K.split(",")]
     for fused in paths:
@@ -114,13 +123,13 @@ def main():
                     agg = bench_config(K, dtype, fused, args.steps)
                 except Exception as e:
                     print(f"{K:>3} {jnp.dtype(dtype).name:>9} "
-                          f"{'fused' if fused else 'xla':>6}   "
+                          f"{fused:>11}   "
                           f"FAILED: {type(e).__name__}: {str(e)[:120]}")
                     break
                 if base is None:
                     base = agg
                 print(f"{K:>3} {jnp.dtype(dtype).name:>9} "
-                      f"{'fused' if fused else 'xla':>6} {agg:>12.1f} "
+                      f"{fused:>11} {agg:>12.1f} "
                       f"{agg / K:>12.1f} {agg / base:>7.2f}x")
 
 

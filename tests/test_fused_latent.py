@@ -150,3 +150,89 @@ def test_bf16_mixed_mode_matches_xla_bf16():
     na = math.sqrt(sum(float(jnp.sum(a * a)) for a in g_xla))
     nb = math.sqrt(sum(float(jnp.sum(b * b)) for b in g_fus))
     assert num / (na * nb) > 0.999, num / (na * nb)
+
+
+# --------------------------------------------------------------------------- #
+#  Multi-replica kernels (K solves in one pallas_call)                        #
+# --------------------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def multi_setup():
+    from torchsde_tpu.models.latent_sde import latent_sde_loss_multi  # noqa: F401
+    key = jax.random.PRNGKey(3)
+    K, B, DATA, L, C, H, T = 2, 8, 3, 4, 16, 32, 6
+    keys = jax.random.split(key, K)
+    models = jax.vmap(
+        lambda k: LatentSDE(k, DATA, L, C, H))(keys)
+    ts = np.linspace(0.0, 1.0, T)
+    xs = jax.random.normal(jax.random.fold_in(key, 1), (T, B, DATA),
+                           jnp.float32)
+    skeys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(keys)
+    return models, keys, skeys, ts, xs, 1.0 / 32
+
+
+def _replica(tree, k):
+    return jax.tree_util.tree_map(lambda a: a[k], tree)
+
+
+def test_multi_solve_matches_per_replica(multi_setup):
+    """The K-unrolled kernel must reproduce K single-replica fused solves
+    exactly (same per-replica noise keys, same math)."""
+    models, _, skeys, ts, xs, dt = multi_setup
+    K = skeys.shape[0]
+    tsf = jnp.asarray(ts, jnp.float32)
+
+    def prep(model, key):
+        ctx = model.encode(xs, tsf)
+        m = model.contextualize(ts, ctx)
+        z0, _, _ = m.posterior_z0(ctx[0], key)
+        return m, z0
+
+    ms, z0 = jax.vmap(prep)(models, skeys)
+    zs_m, lr_m = LF.latent_logqp_solve_fused_multi(ms, z0, ts, skeys, dt)
+    assert zs_m.shape[0] == K and lr_m.shape[0] == K
+    for k in range(K):
+        zs_1, lr_1 = LF.latent_logqp_solve_fused(
+            _replica(ms, k), z0[k], ts, skeys[k], dt)
+        np.testing.assert_allclose(zs_m[k], zs_1, atol=1e-6)
+        np.testing.assert_allclose(lr_m[k], lr_1, atol=1e-6)
+
+
+def test_multi_loss_and_grads_match_per_replica(multi_setup):
+    """latent_sde_loss_multi == stacked latent_sde_loss(fused=True), for
+    values AND gradients of every replica's weights."""
+    from torchsde_tpu.models.latent_sde import latent_sde_loss_multi
+    models, keys, _, ts, xs, dt = multi_setup
+    K = keys.shape[0]
+
+    (total, losses), g_multi = jax.value_and_grad(
+        lambda m: latent_sde_loss_multi(m, xs, ts, keys, dt=dt),
+        has_aux=True)(models)
+    np.testing.assert_allclose(total, float(jnp.sum(losses)), rtol=1e-6)
+
+    for k in range(K):
+        l_1, _ = latent_sde_loss(_replica(models, k), xs, ts, keys[k],
+                                 dt=dt, fused=True)
+        np.testing.assert_allclose(losses[k], l_1, rtol=1e-5)
+        g_1 = jax.grad(lambda m: latent_sde_loss(
+            m, xs, ts, keys[k], dt=dt, fused=True)[0])(_replica(models, k))
+        ref_leaves = jax.tree_util.tree_leaves(g_1)
+        got_leaves = [l[k] for l in jax.tree_util.tree_leaves(g_multi)]
+        for r, g in zip(ref_leaves, got_leaves):
+            scale = float(jnp.max(jnp.abs(r))) + 1e-12
+            np.testing.assert_allclose(g, r, atol=max(1e-5, 1e-5 * scale))
+
+
+def test_multi_loss_per_replica_xs(multi_setup):
+    """Per-replica data (K, T, B, D) is accepted and routes each replica its
+    own xs."""
+    from torchsde_tpu.models.latent_sde import latent_sde_loss_multi
+    models, keys, _, ts, xs, dt = multi_setup
+    K = keys.shape[0]
+    xs_k = jnp.stack([xs + k for k in range(K)])
+    _, losses = latent_sde_loss_multi(models, xs_k, ts, keys, dt=dt)
+    for k in range(K):
+        l_1, _ = latent_sde_loss(_replica(models, k), xs + k, ts, keys[k],
+                                 dt=dt, fused=True)
+        np.testing.assert_allclose(losses[k], l_1, rtol=1e-5)

@@ -191,6 +191,52 @@ def latent_sde_loss(model, xs, ts, key, noise_std=0.01, kl_weight=1.0,
     return loss, dict(log_pxs=log_pxs, logqp=logqp0 + logqp_path)
 
 
+def latent_sde_loss_multi(models, xs, ts, keys, noise_std=0.01,
+                          kl_weight=1.0, dt=1e-2):
+    """ELBO losses for K independent replicas in ONE program.
+
+    ``models`` is a stacked ``LatentSDE`` pytree (leading replica axis, e.g.
+    ``jax.vmap(lambda k: LatentSDE(k, ...))(jax.random.split(key, K))``);
+    ``keys`` is ``(K,)``; ``xs`` is shared ``(T, B, D)`` or per-replica
+    ``(K, T, B, D)``. Encoder/decoder/KL terms run vmapped (XLA interleaves
+    them); the K logqp Euler solves run as ONE multi-replica whole-solve
+    Pallas kernel pair (ops/latent_fused.py), so the sequential solver
+    chains interleave on the MXU instead of serialising — the aggregate-
+    throughput remedy for the single-solve latency plateau (BENCH_NOTES §5,
+    §8). Per-replica semantics match ``latent_sde_loss(..., fused=True)``.
+
+    Returns ``(total_loss, per_replica_losses)`` — grad of the total gives
+    each replica its own gradients (replicas are independent).
+    """
+    from ..ops.latent_fused import latent_logqp_solve_fused_multi
+
+    xs_ax = 0 if xs.ndim == 4 else None
+
+    def prep(model, xs_k, key):
+        ctx = model.encode(xs_k, ts)
+        m = model.contextualize(ts, ctx)
+        z0, qz0_mean, qz0_logstd = m.posterior_z0(ctx[0], key)
+        return m, z0, qz0_mean, qz0_logstd
+
+    ms, z0, qz0_mean, qz0_logstd = jax.vmap(prep, in_axes=(0, xs_ax, 0))(
+        models, xs, keys)
+    solve_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+    zs, log_ratio = latent_logqp_solve_fused_multi(ms, z0, ts, solve_keys, dt)
+
+    def tail(m, xs_k, zs_k, lr_k, qm_k, ql_k):
+        _xs = m.projector(zs_k)
+        log_pxs = jnp.sum(jnp.mean(_normal_logp(xs_k, _xs, noise_std),
+                                   axis=1))
+        logqp0 = jnp.sum(jnp.mean(
+            _kl_diag_normal(qm_k, ql_k, m.pz0_mean, m.pz0_logstd), axis=0))
+        logqp_path = jnp.mean(jnp.sum(lr_k, axis=0))
+        return -log_pxs + kl_weight * (logqp0 + logqp_path)
+
+    losses = jax.vmap(tail, in_axes=(0, xs_ax, 0, 0, 0, 0))(
+        ms, xs, zs, log_ratio, qz0_mean, qz0_logstd)
+    return jnp.sum(losses), losses
+
+
 def sample_posterior(model, xs, ts, key, dt=1e-2, method="euler"):
     """Posterior sample paths projected to data space."""
     ctx = model.encode(xs, ts)

@@ -172,33 +172,22 @@ def _fwd_kernel(z0_ref, ctx_ref, noise_ref, dts_ref, *wrefs, zs_ref, qs_ref,
     qs_ref[0] = q_s[...].astype(qs_ref.dtype)
 
 
-def _bwd_kernel(z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref,
-                *wrefs, dz0_ref, dctx_ref, dnoise_ref, dw_refs, dz_s, L, C):
-    w = {name: r[...] for name, r in zip(_WNAMES, wrefs)}
-    r_ = pl.program_id(0)
-    n_total = pl.num_programs(0)
-
-    @pl.when(r_ == 0)
-    def _():
-        dz_s[...] = jnp.zeros_like(dz_s)
-        for dref in dw_refs.values():
-            dref[...] = jnp.zeros_like(dref)
-
-    z = z_pre_ref[0].astype(dz_s.dtype)
-    ctx = ctx_ref[0]
-    dt = dts_ref[r_, 0]
+def _backward_core(z, ctx, dW, dt, gz, gq, dz_carry, w, L, C):
+    """One reverse solver step on VMEM values, shared by the single- and
+    multi-replica backward kernels. Inputs are already in the f32 state
+    dtype; returns ``(dz_next, dctx, dnoise, dw)`` where ``dw`` is the dict
+    of per-step weight-gradient increments the caller accumulates."""
     f, h, g, u, a = _forward_core(z, ctx, w, L, C)
     gs, big, gfull = a["gs"], a["big"], a["gfull"]
     a1all, a2fh, x = a["a1all"], a["a2fh"], a["x"]
     a1g = a1all[:, _FH:]
     cdt = w["W1all"].dtype           # matmul-input dtype (bf16 in mixed mode)
-    dW = noise_ref[0].astype(z.dtype)
 
     # Incoming cotangents: gz for the post-step state, gq for this step's
     # logqp increment (already reverse-accumulated by the wrapper).
-    dz = dz_s[...] + gz_ref[0].astype(z.dtype)
-    dnoise_ref[0] = (dz * g).astype(dnoise_ref.dtype)
-    du = gq_ref[0].astype(z.dtype) * u * dt
+    dz = dz_carry + gz
+    dnoise = dz * g
+    du = gq * u * dt
     df = dz * dt + du / gs
     dh = -du / gs
     # Only the u-path is clamped by stable_division (du/dg = 0 where
@@ -214,42 +203,66 @@ def _bwd_kernel(z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref,
 
     # f/h towers, merged: dl3 carries [dffull | dhfull] through the two
     # block-diagonal layers in one matmul each. Matmul inputs are cast to the
-    # weights' dtype (MXU bf16 path in mixed mode); the dw_refs accumulators
+    # weights' dtype (MXU bf16 path in mixed mode); the dw accumulators
     # are float32 regardless.
+    dw = {}
     dl3 = jnp.concatenate([df, zcols, dh, zcols], axis=1)       # (B, 2*LANE)
-    dw_refs["W3fh"][...] += jnp.dot(a2fh.astype(cdt).T, dl3.astype(cdt),
-                                    preferred_element_type=jnp.float32)
-    dw_refs["b3fh"][...] += jnp.sum(dl3, axis=0, keepdims=True)
+    dw["W3fh"] = jnp.dot(a2fh.astype(cdt).T, dl3.astype(cdt),
+                         preferred_element_type=jnp.float32)
+    dw["b3fh"] = jnp.sum(dl3, axis=0, keepdims=True)
     da2fh = jnp.dot(dl3.astype(cdt), w["W3fh"].T,
                     preferred_element_type=jnp.float32)
     dpre2fh = da2fh * dsoftplus(a2fh)
-    dw_refs["W2fh"][...] += jnp.dot(a1all[:, :_FH].astype(cdt).T,
-                                    dpre2fh.astype(cdt),
-                                    preferred_element_type=jnp.float32)
-    dw_refs["b2fh"][...] += jnp.sum(dpre2fh, axis=0, keepdims=True)
+    dw["W2fh"] = jnp.dot(a1all[:, :_FH].astype(cdt).T,
+                         dpre2fh.astype(cdt),
+                         preferred_element_type=jnp.float32)
+    dw["b2fh"] = jnp.sum(dpre2fh, axis=0, keepdims=True)
     da1fh = jnp.dot(dpre2fh.astype(cdt), w["W2fh"].T,
                     preferred_element_type=jnp.float32)
 
     # g net (sigmoid output)
     dgfull = jnp.concatenate([dg, zcols], axis=1)
     dpre2g = dgfull * gfull * (1.0 - gfull)
-    dw_refs["W2g"][...] += jnp.dot(a1g.astype(cdt).T, dpre2g.astype(cdt),
-                                   preferred_element_type=jnp.float32)
-    dw_refs["b2g"][...] += jnp.sum(dpre2g, axis=0, keepdims=True)
+    dw["W2g"] = jnp.dot(a1g.astype(cdt).T, dpre2g.astype(cdt),
+                        preferred_element_type=jnp.float32)
+    dw["b2g"] = jnp.sum(dpre2g, axis=0, keepdims=True)
     da1g = jnp.dot(dpre2g.astype(cdt), w["W2g"].T,
                    preferred_element_type=jnp.float32)
 
     # merged layer 1
     da1all = jnp.concatenate([da1fh, da1g], axis=1)
     dpre1all = da1all * dsoftplus(a1all)
-    dw_refs["W1all"][...] += jnp.dot(x.astype(cdt).T, dpre1all.astype(cdt),
-                                     preferred_element_type=jnp.float32)
-    dw_refs["b1all"][...] += jnp.sum(dpre1all, axis=0, keepdims=True)
+    dw["W1all"] = jnp.dot(x.astype(cdt).T, dpre1all.astype(cdt),
+                          preferred_element_type=jnp.float32)
+    dw["b1all"] = jnp.sum(dpre1all, axis=0, keepdims=True)
     dx = jnp.dot(dpre1all.astype(cdt), w["W1all"].T,
                  preferred_element_type=jnp.float32)
 
-    dz_s[...] = dz + dx[:, :L]
-    dctx_ref[0] = dx[:, L:L + C].astype(dctx_ref.dtype)
+    return dz + dx[:, :L], dx[:, L:L + C], dnoise, dw
+
+
+def _bwd_kernel(z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref,
+                *wrefs, dz0_ref, dctx_ref, dnoise_ref, dw_refs, dz_s, L, C):
+    w = {name: r[...] for name, r in zip(_WNAMES, wrefs)}
+    r_ = pl.program_id(0)
+    n_total = pl.num_programs(0)
+
+    @pl.when(r_ == 0)
+    def _():
+        dz_s[...] = jnp.zeros_like(dz_s)
+        for dref in dw_refs.values():
+            dref[...] = jnp.zeros_like(dref)
+
+    z = z_pre_ref[0].astype(dz_s.dtype)
+    dz_next, dctx, dnoise, dw = _backward_core(
+        z, ctx_ref[0], noise_ref[0].astype(z.dtype), dts_ref[r_, 0],
+        gz_ref[0].astype(z.dtype), gq_ref[0].astype(z.dtype), dz_s[...],
+        w, L, C)
+    dz_s[...] = dz_next
+    dctx_ref[0] = dctx.astype(dctx_ref.dtype)
+    dnoise_ref[0] = dnoise.astype(dnoise_ref.dtype)
+    for name in _WNAMES:
+        dw_refs[name][...] += dw[name]
 
     @pl.when(r_ == n_total - 1)
     def _():
@@ -395,6 +408,204 @@ def _fused_solve_bwd(residuals, cotangents):
 _fused_solve.defvjp(_fused_solve_fwd, _fused_solve_bwd)
 
 
+# --------------------------------------------------------------------------- #
+#  Multi-replica variant: K independent solves in ONE kernel                  #
+# --------------------------------------------------------------------------- #
+#
+# `jax.vmap` of a `pallas_call` adds a sequential leading grid dimension, so
+# vmapping the single-replica kernel serialises the K solves — measured at
+# only 1.15-1.29x aggregate scaling vs 2.35x for the XLA scan (BENCH_NOTES
+# §8). These kernels instead UNROLL the K replicas inside each grid step:
+# the K chains' matmuls are mutually independent, so the MXU pipelines them
+# back-to-back while each chain's own next step still waits on its carry —
+# in-kernel interleaving of independent work, the same trick the XLA path
+# gets from vmap but without leaving the fused kernel.
+#
+# VMEM budget per replica (flagship shapes, bf16 weights): ~0.6 MB weights
+# + ~1.2 MB f32 weight-gradient accumulators in the backward, so K is
+# VMEM-bounded; the compiler rejects configurations that do not fit.
+
+
+def _fwd_kernel_multi(z0_ref, ctx_ref, noise_ref, dts_ref, *wrefs,
+                      zs_ref, qs_ref, z_s, q_s, L, C, K):
+    n = pl.program_id(0)
+
+    @pl.when(n == 0)
+    def _():
+        z_s[...] = z0_ref[...]
+        q_s[...] = jnp.zeros_like(q_s)
+
+    dt = dts_ref[n, 0]
+    for k in range(K):
+        w = {name: r[k] for name, r in zip(_WNAMES, wrefs)}
+        z = z_s[k]
+        f, _, g, u, _ = _forward_core(z, ctx_ref[k, 0], w, L, C)
+        q_s[k] = q_s[k] + 0.5 * jnp.sum(u * u, axis=1, keepdims=True) * dt
+        z_s[k] = z + f * dt + g * noise_ref[k, 0].astype(z.dtype)
+        zs_ref[k, 0] = z_s[k].astype(zs_ref.dtype)
+        qs_ref[k, 0] = q_s[k].astype(qs_ref.dtype)
+
+
+def _bwd_kernel_multi(z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref,
+                      *wrefs, dz0_ref, dctx_ref, dnoise_ref, dw_refs, dz_s,
+                      L, C, K):
+    r_ = pl.program_id(0)
+    n_total = pl.num_programs(0)
+
+    @pl.when(r_ == 0)
+    def _():
+        dz_s[...] = jnp.zeros_like(dz_s)
+        for dref in dw_refs.values():
+            dref[...] = jnp.zeros_like(dref)
+
+    dt = dts_ref[r_, 0]
+    for k in range(K):
+        w = {name: r[k] for name, r in zip(_WNAMES, wrefs)}
+        z = z_pre_ref[k, 0].astype(dz_s.dtype)
+        dz_next, dctx, dnoise, dw = _backward_core(
+            z, ctx_ref[k, 0], noise_ref[k, 0].astype(z.dtype), dt,
+            gz_ref[k, 0].astype(z.dtype), gq_ref[k, 0].astype(z.dtype),
+            dz_s[k], w, L, C)
+        dz_s[k] = dz_next
+        dctx_ref[k, 0] = dctx.astype(dctx_ref.dtype)
+        dnoise_ref[k, 0] = dnoise.astype(dnoise_ref.dtype)
+        for name in _WNAMES:
+            dw_refs[name][k] = dw_refs[name][k] + dw[name]
+
+    @pl.when(r_ == n_total - 1)
+    def _():
+        dz0_ref[...] = dz_s[...]
+
+
+@jax.custom_vjp
+def _fused_solve_multi(weights, z0, ctx_steps, noise, dts):
+    zs, qs = _fused_solve_multi_fwd_impl(weights, z0, ctx_steps, noise, dts)
+    return zs, qs
+
+
+def _fused_solve_multi_fwd_impl(weights, z0, ctx_steps, noise, dts,
+                                interpret=None):
+    interpret = _INTERPRET if interpret is None else interpret
+    K, n, B, C = ctx_steps.shape
+    L = z0.shape[2]
+    kernel = functools.partial(_fwd_kernel_multi, L=L, C=C, K=K)
+
+    def kern(z0_ref, ctx_ref, noise_ref, dts_ref, *rest):
+        wrefs = rest[:len(_WNAMES)]
+        zs_ref, qs_ref, z_s, q_s = rest[len(_WNAMES):]
+        kernel(z0_ref, ctx_ref, noise_ref, dts_ref, *wrefs,
+               zs_ref=zs_ref, qs_ref=qs_ref, z_s=z_s, q_s=q_s)
+
+    kstep = lambda d: pl.BlockSpec((K, 1, B, d), lambda i: (0, i, 0, 0),  # noqa: E731
+                                   memory_space=pltpu.VMEM)
+    zs, qs = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((K, B, L), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            kstep(C),                                       # ctx (K,n,B,C)
+            kstep(L),                                       # noise
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(_WNAMES),
+        out_specs=[kstep(L), kstep(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, n, B, L), weights["W1all"].dtype),
+            jax.ShapeDtypeStruct((K, n, B, 1), z0.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, B, L), z0.dtype),
+            pltpu.VMEM((K, B, 1), z0.dtype),
+        ],
+        compiler_params=_cparams(),
+        interpret=interpret,
+    )(z0, ctx_steps, noise, dts.reshape(-1, 1),
+      *[weights[k] for k in _WNAMES])
+    return zs, qs
+
+
+def _fused_solve_multi_fwd(weights, z0, ctx_steps, noise, dts):
+    zs, qs = _fused_solve_multi_fwd_impl(weights, z0, ctx_steps, noise, dts)
+    return (zs, qs), (weights, z0, ctx_steps, noise, dts, zs)
+
+
+def _fused_solve_multi_bwd_impl(weights, z0, ctx_steps, noise, dts, zs,
+                                gz, gq, interpret=None):
+    interpret = _INTERPRET if interpret is None else interpret
+    K, n, B, C = ctx_steps.shape
+    L = z0.shape[2]
+    wdt = weights["W1all"].dtype
+    gz = jnp.asarray(gz, wdt)
+    gq = jnp.asarray(gq, z0.dtype)
+    z_pre = jnp.concatenate(
+        [z0[:, None], jnp.asarray(zs[:, :-1], z0.dtype)], axis=1)
+    ginc = jnp.cumsum(gq[:, ::-1], axis=1)[:, ::-1]    # (K, n, B, 1)
+    flip = lambda a: a[:, ::-1]                        # noqa: E731
+
+    kernel = functools.partial(_bwd_kernel_multi, L=L, C=C, K=K)
+    n_w = len(_WNAMES)
+
+    def kern(*refs):
+        (z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref) = refs[:6]
+        wrefs = refs[6:6 + n_w]
+        outs = refs[6 + n_w:]
+        dz0_ref, dctx_ref, dnoise_ref = outs[0], outs[1], outs[2]
+        dw_refs = dict(zip(_WNAMES, outs[3:3 + n_w]))
+        dz_s = outs[3 + n_w]
+        kernel(z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref,
+               *wrefs, dz0_ref=dz0_ref, dctx_ref=dctx_ref,
+               dnoise_ref=dnoise_ref, dw_refs=dw_refs, dz_s=dz_s)
+
+    kstep = lambda d: pl.BlockSpec((K, 1, B, d), lambda i: (0, i, 0, 0),  # noqa: E731
+                                   memory_space=pltpu.VMEM)
+    dw_shapes = [jax.ShapeDtypeStruct(weights[k].shape, jnp.float32)
+                 for k in _WNAMES]
+    out = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            kstep(L),                                   # z_pre (flipped)
+            kstep(C),                                   # ctx (flipped)
+            kstep(L),                                   # noise (flipped)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            kstep(L),                                   # gz (flipped)
+            kstep(1),                                   # ginc (flipped)
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_w,
+        out_specs=[
+            pl.BlockSpec((K, B, L), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            kstep(C),                                   # dctx (flipped)
+            kstep(L),                                   # dnoise (flipped)
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_w,
+        out_shape=[
+            jax.ShapeDtypeStruct((K, B, L), z0.dtype),
+            jax.ShapeDtypeStruct((K, n, B, C), ctx_steps.dtype),
+            jax.ShapeDtypeStruct((K, n, B, L), noise.dtype),
+        ] + dw_shapes,
+        scratch_shapes=[pltpu.VMEM((K, B, L), z0.dtype)],
+        compiler_params=_cparams(),
+        interpret=interpret,
+    )(flip(z_pre), flip(ctx_steps), flip(noise),
+      dts[::-1].reshape(-1, 1), flip(gz), flip(ginc),
+      *[weights[k] for k in _WNAMES])
+
+    dz0, dctx_flipped, dnoise_flipped = out[0], out[1], out[2]
+    dweights = {k: jnp.asarray(dw, weights[k].dtype)
+                for k, dw in zip(_WNAMES, out[3:3 + n_w])}
+    return dweights, dz0, flip(dctx_flipped), flip(dnoise_flipped)
+
+
+def _fused_solve_multi_bwd(residuals, cotangents):
+    weights, z0, ctx_steps, noise, dts, zs = residuals
+    gz, gq = cotangents
+    dweights, dz0, dctx, dnoise = _fused_solve_multi_bwd_impl(
+        weights, z0, ctx_steps, noise, dts, zs, gz, gq)
+    return dweights, dz0, dctx, dnoise, jnp.zeros_like(dts)
+
+
+_fused_solve_multi.defvjp(_fused_solve_multi_fwd, _fused_solve_multi_bwd)
+
+
 def latent_logqp_solve_fused(model, z0, ts, key, dt):
     """Drop-in fused replacement for the flagship
     ``sdeint(model, z0, ts, logqp=True, method='euler')`` solve.
@@ -465,3 +676,70 @@ def latent_logqp_solve_fused(model, z0, ts, key, dt):
     zs = ys[:, :, :L]
     log_ratio = ys[1:, :, L] - ys[:-1, :, L]
     return zs, log_ratio
+
+
+def latent_logqp_solve_fused_multi(models, z0, ts, keys, dt):
+    """K independent flagship solves in ONE pair of kernels.
+
+    ``models`` is a stacked ``LatentSDE`` pytree (leading replica axis on
+    every leaf, e.g. from ``jax.vmap(LatentSDE)(keys)``), already
+    contextualized; ``z0`` is ``(K, B, L)``; ``keys`` is ``(K,)`` solve keys.
+    Semantically identical to ``vmap``-ing :func:`latent_logqp_solve_fused`
+    over the replica axis — per-replica noise streams, values and gradients
+    match the single-replica kernel exactly — but the K solver chains are
+    unrolled INSIDE each kernel grid step so their independent matmuls
+    pipeline on the MXU instead of serialising (vmap of a ``pallas_call``
+    runs replicas sequentially; BENCH_NOTES §8 reading 2).
+
+    Returns ``(zs, log_ratio)`` with leading replica axes:
+    ``(K, T, B, L)`` and ``(K, T-1, B)``.
+    """
+    import numpy as np
+
+    from ..core import integrate
+    from ..core.sdeint import _time_dtype
+
+    L = models.latent_size
+    C = models.context_size
+    K, B = z0.shape[0], z0.shape[1]
+    if L + C + 1 > _LANE:
+        raise ValueError(f"latent+context must fit one lane tile: "
+                         f"L + C <= {_LANE - 1} (got {L} + {C})")
+    wdtype = models.f_net.layers[0].w.dtype
+    sdtype = jnp.float32 if wdtype == jnp.bfloat16 else wdtype
+    z0 = jnp.asarray(z0, sdtype)
+    ts_np = np.asarray(ts, np.float64)
+    grid = integrate.build_step_grid(ts_np[0], ts_np[-1], dt)
+
+    # Per-replica noise: each replica draws the SAME stream its
+    # single-replica solve would (bitwise), from its own key.
+    Wfull = jax.vmap(
+        lambda k: integrate.sample_grid_noise(k, grid, (B, L + 1), wdtype)[0]
+    )(keys)                                            # (K, n, B, L+1)
+    noise = Wfull[..., :L]
+
+    t0s = jnp.asarray(grid[:-1], _time_dtype(z0))
+
+    def gather_ctx(ctx_ts, ctx):
+        idx = jnp.clip(jnp.searchsorted(ctx_ts, t0s, side="left"), 0,
+                       ctx.shape[0] - 1)
+        return jnp.asarray(ctx, wdtype)[idx]
+
+    ctx_steps = jax.vmap(gather_ctx)(models._ctx_ts, models._ctx)
+
+    grid_dev = jnp.asarray(grid, z0.dtype)
+    dts = grid_dev[1:] - grid_dev[:-1]
+    weights = jax.vmap(pack_weights)(models)
+    zs_steps, qs_steps = _fused_solve_multi(weights, z0, ctx_steps, noise,
+                                            dts)
+
+    ts_dev = jnp.asarray(ts, z0.dtype)
+
+    def tail(zs_k, qs_k, z0_k):
+        zq_grid = jnp.concatenate([zs_k, qs_k], axis=-1)
+        zq0 = jnp.concatenate([z0_k, jnp.zeros((B, 1), z0.dtype)], axis=-1)
+        zq_full = jnp.concatenate([zq0[None], zq_grid], axis=0)
+        ys = integrate.linear_interp_on_grid(ts_dev, grid_dev, zq_full)
+        return ys[:, :, :L], ys[1:, :, L] - ys[:-1, :, L]
+
+    return jax.vmap(tail)(zs_steps, qs_steps, z0)
