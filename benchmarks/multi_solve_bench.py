@@ -85,7 +85,8 @@ def main():
                 # K-unrolled whole-solve kernels: the K chains interleave
                 # INSIDE one pallas_call (vmap of pallas_call serialises).
                 (_, losses), grads = jax.value_and_grad(
-                    lambda m: latent_sde_loss_multi(m, xs, ts, ks, dt=DT),
+                    lambda m: latent_sde_loss_multi(m, xs, ts, ks, dt=DT,
+                                                    fused=True),
                     has_aux=True)(models)
             else:
                 losses, grads = jax.vmap(

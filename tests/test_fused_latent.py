@@ -152,6 +152,37 @@ def test_bf16_mixed_mode_matches_xla_bf16():
     assert num / (na * nb) > 0.999, num / (na * nb)
 
 
+def test_steps_per_block_unroll_matches(setup):
+    """S solver steps per kernel grid step (perf knob) must not change
+    values or gradients."""
+    m, _, z0, ts, _, nkey, dt = setup
+    zs_1, kl_1 = LF.latent_logqp_solve_fused(m, z0, ts, nkey, dt)
+
+    def loss(mm):
+        zs, kl = LF.latent_logqp_solve_fused(mm, z0, ts, nkey, dt)
+        return jnp.sum(zs ** 2) + jnp.sum(kl)
+
+    g_1 = jax.grad(loss)(m)
+    old = LF._STEPS_PER_BLOCK
+    try:
+        LF._STEPS_PER_BLOCK = 4          # n=32 steps -> 8 grid steps
+        zs_4, kl_4 = LF.latent_logqp_solve_fused(m, z0, ts, nkey, dt)
+        g_4 = jax.grad(loss)(m)
+    finally:
+        LF._STEPS_PER_BLOCK = old
+    np.testing.assert_allclose(zs_4, zs_1, atol=1e-7)
+    np.testing.assert_allclose(kl_4, kl_1, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(g_1),
+                    jax.tree_util.tree_leaves(g_4)):
+        np.testing.assert_allclose(b, a, atol=1e-6)
+    with pytest.raises(ValueError):
+        try:
+            LF._STEPS_PER_BLOCK = 5      # does not divide 32
+            LF.latent_logqp_solve_fused(m, z0, ts, nkey, dt)
+        finally:
+            LF._STEPS_PER_BLOCK = old
+
+
 # --------------------------------------------------------------------------- #
 #  Multi-replica kernels (K solves in one pallas_call)                        #
 # --------------------------------------------------------------------------- #
@@ -207,7 +238,7 @@ def test_multi_loss_and_grads_match_per_replica(multi_setup):
     K = keys.shape[0]
 
     (total, losses), g_multi = jax.value_and_grad(
-        lambda m: latent_sde_loss_multi(m, xs, ts, keys, dt=dt),
+        lambda m: latent_sde_loss_multi(m, xs, ts, keys, dt=dt, fused=True),
         has_aux=True)(models)
     np.testing.assert_allclose(total, float(jnp.sum(losses)), rtol=1e-6)
 
@@ -231,8 +262,21 @@ def test_multi_loss_per_replica_xs(multi_setup):
     models, keys, _, ts, xs, dt = multi_setup
     K = keys.shape[0]
     xs_k = jnp.stack([xs + k for k in range(K)])
-    _, losses = latent_sde_loss_multi(models, xs_k, ts, keys, dt=dt)
+    _, losses = latent_sde_loss_multi(models, xs_k, ts, keys, dt=dt,
+                                      fused=True)
     for k in range(K):
         l_1, _ = latent_sde_loss(_replica(models, k), xs + k, ts, keys[k],
                                  dt=dt, fused=True)
+        np.testing.assert_allclose(losses[k], l_1, rtol=1e-5)
+
+
+def test_multi_loss_default_xla_path(multi_setup):
+    """fused=False (the default, measured-fastest multi-replica path) is a
+    vmap of the per-replica XLA loss."""
+    from torchsde_tpu.models.latent_sde import latent_sde_loss_multi
+    models, keys, _, ts, xs, dt = multi_setup
+    total, losses = latent_sde_loss_multi(models, xs, ts, keys, dt=dt)
+    np.testing.assert_allclose(total, float(jnp.sum(losses)), rtol=1e-6)
+    for k in range(keys.shape[0]):
+        l_1, _ = latent_sde_loss(_replica(models, k), xs, ts, keys[k], dt=dt)
         np.testing.assert_allclose(losses[k], l_1, rtol=1e-5)

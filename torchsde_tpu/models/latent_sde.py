@@ -192,18 +192,24 @@ def latent_sde_loss(model, xs, ts, key, noise_std=0.01, kl_weight=1.0,
 
 
 def latent_sde_loss_multi(models, xs, ts, keys, noise_std=0.01,
-                          kl_weight=1.0, dt=1e-2):
-    """ELBO losses for K independent replicas in ONE program.
+                          kl_weight=1.0, dt=1e-2, fused=False):
+    """ELBO losses for K independent replicas in ONE program — the
+    aggregate-throughput remedy for the single-solve latency plateau
+    (BENCH_NOTES §5, §8): K solver chains interleave on the chip, peaking
+    at 262 agg steps/s at K=16 bf16 on v5e-1 vs 146 for one chain.
 
     ``models`` is a stacked ``LatentSDE`` pytree (leading replica axis, e.g.
     ``jax.vmap(lambda k: LatentSDE(k, ...))(jax.random.split(key, K))``);
     ``keys`` is ``(K,)``; ``xs`` is shared ``(T, B, D)`` or per-replica
-    ``(K, T, B, D)``. Encoder/decoder/KL terms run vmapped (XLA interleaves
-    them); the K logqp Euler solves run as ONE multi-replica whole-solve
-    Pallas kernel pair (ops/latent_fused.py), so the sequential solver
-    chains interleave on the MXU instead of serialising — the aggregate-
-    throughput remedy for the single-solve latency plateau (BENCH_NOTES §5,
-    §8). Per-replica semantics match ``latent_sde_loss(..., fused=True)``.
+    ``(K, T, B, D)``.
+
+    ``fused=False`` (default) vmaps the whole per-replica loss — XLA
+    interleaves the K independent chains; this is the measured-fastest
+    multi-replica path (BENCH_NOTES §8). ``fused=True`` runs the K logqp
+    Euler solves as ONE multi-replica whole-solve Pallas kernel pair
+    (ops/latent_fused.py) with encoder/decoder/KL vmapped around it;
+    measured slower at K>=2 (VPU-bound, §8 reading 5) but kept as the
+    kernel-path option. Per-replica semantics match ``latent_sde_loss``.
 
     Returns ``(total_loss, per_replica_losses)`` — grad of the total gives
     each replica its own gradients (replicas are independent).
@@ -211,6 +217,16 @@ def latent_sde_loss_multi(models, xs, ts, keys, noise_std=0.01,
     from ..ops.latent_fused import latent_logqp_solve_fused_multi
 
     xs_ax = 0 if xs.ndim == 4 else None
+
+    if not fused:
+        def one(model, xs_k, key):
+            loss, _ = latent_sde_loss(model, xs_k, ts, key,
+                                      noise_std=noise_std,
+                                      kl_weight=kl_weight, dt=dt)
+            return loss
+
+        losses = jax.vmap(one, in_axes=(0, xs_ax, 0))(models, xs, keys)
+        return jnp.sum(losses), losses
 
     def prep(model, xs_k, key):
         ctx = model.encode(xs_k, ts)

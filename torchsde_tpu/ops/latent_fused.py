@@ -154,7 +154,10 @@ def _forward_core(z, ctx, w, L, C):
 
 
 def _fwd_kernel(z0_ref, ctx_ref, noise_ref, dts_ref, *wrefs, zs_ref, qs_ref,
-                z_s, q_s, L, C):
+                z_s, q_s, L, C, S):
+    """S solver steps per grid step: amortises the per-grid-step block
+    bookkeeping/DMA sync over S steps (the chain is latency-bound, so fixed
+    per-iteration overhead is a real slice of the step time)."""
     w = {name: r[...] for name, r in zip(_WNAMES, wrefs)}
     n = pl.program_id(0)
 
@@ -163,13 +166,14 @@ def _fwd_kernel(z0_ref, ctx_ref, noise_ref, dts_ref, *wrefs, zs_ref, qs_ref,
         z_s[...] = z0_ref[...]
         q_s[...] = jnp.zeros_like(q_s)
 
-    z = z_s[...]
-    dt = dts_ref[n, 0]
-    f, h, g, u, _ = _forward_core(z, ctx_ref[0], w, L, C)
-    q_s[...] = q_s[...] + 0.5 * jnp.sum(u * u, axis=1, keepdims=True) * dt
-    z_s[...] = z + f * dt + g * noise_ref[0].astype(z.dtype)
-    zs_ref[0] = z_s[...].astype(zs_ref.dtype)
-    qs_ref[0] = q_s[...].astype(qs_ref.dtype)
+    for s in range(S):
+        z = z_s[...]
+        dt = dts_ref[n * S + s, 0]
+        f, h, g, u, _ = _forward_core(z, ctx_ref[s], w, L, C)
+        q_s[...] = q_s[...] + 0.5 * jnp.sum(u * u, axis=1, keepdims=True) * dt
+        z_s[...] = z + f * dt + g * noise_ref[s].astype(z.dtype)
+        zs_ref[s] = z_s[...].astype(zs_ref.dtype)
+        qs_ref[s] = q_s[...].astype(qs_ref.dtype)
 
 
 def _backward_core(z, ctx, dW, dt, gz, gq, dz_carry, w, L, C):
@@ -242,7 +246,8 @@ def _backward_core(z, ctx, dW, dt, gz, gq, dz_carry, w, L, C):
 
 
 def _bwd_kernel(z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref,
-                *wrefs, dz0_ref, dctx_ref, dnoise_ref, dw_refs, dz_s, L, C):
+                *wrefs, dz0_ref, dctx_ref, dnoise_ref, dw_refs, dz_s, L, C,
+                S):
     w = {name: r[...] for name, r in zip(_WNAMES, wrefs)}
     r_ = pl.program_id(0)
     n_total = pl.num_programs(0)
@@ -253,16 +258,18 @@ def _bwd_kernel(z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref,
         for dref in dw_refs.values():
             dref[...] = jnp.zeros_like(dref)
 
-    z = z_pre_ref[0].astype(dz_s.dtype)
-    dz_next, dctx, dnoise, dw = _backward_core(
-        z, ctx_ref[0], noise_ref[0].astype(z.dtype), dts_ref[r_, 0],
-        gz_ref[0].astype(z.dtype), gq_ref[0].astype(z.dtype), dz_s[...],
-        w, L, C)
-    dz_s[...] = dz_next
-    dctx_ref[0] = dctx.astype(dctx_ref.dtype)
-    dnoise_ref[0] = dnoise.astype(dnoise_ref.dtype)
-    for name in _WNAMES:
-        dw_refs[name][...] += dw[name]
+    # Inputs arrive flipped, so s walks reverse solver time within the block.
+    for s in range(S):
+        z = z_pre_ref[s].astype(dz_s.dtype)
+        dz_next, dctx, dnoise, dw = _backward_core(
+            z, ctx_ref[s], noise_ref[s].astype(z.dtype),
+            dts_ref[r_ * S + s, 0], gz_ref[s].astype(z.dtype),
+            gq_ref[s].astype(z.dtype), dz_s[...], w, L, C)
+        dz_s[...] = dz_next
+        dctx_ref[s] = dctx.astype(dctx_ref.dtype)
+        dnoise_ref[s] = dnoise.astype(dnoise_ref.dtype)
+        for name in _WNAMES:
+            dw_refs[name][...] += dw[name]
 
     @pl.when(r_ == n_total - 1)
     def _():
@@ -272,6 +279,22 @@ def _bwd_kernel(z_pre_ref, ctx_ref, noise_ref, dts_ref, gz_ref, gq_ref,
 # Tests flip this to run the kernels through the Pallas interpreter on CPU.
 _INTERPRET = False
 
+# Solver steps per kernel grid step (None = 1). Measured on v5e at the
+# flagship config: S makes no difference (S=1: 145.2, S=2: 146.1, S=4:
+# 136.2, S=8: 142.8 train steps/s) — Mosaic already pipelines the
+# per-grid-step block bookkeeping behind the compute, so the chain is bound
+# by the dependent matmul/VPU work itself. Kept as a knob for A/B sweeps.
+_STEPS_PER_BLOCK = None
+
+
+def _pick_steps_per_block(n, override=None):
+    s = _STEPS_PER_BLOCK if override is None else override
+    if s is None:
+        return 1
+    if n % s:
+        raise ValueError(f"steps_per_block {s} must divide n={n}")
+    return s
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def _fused_solve(weights, z0, ctx_steps, noise, dts):
@@ -279,11 +302,13 @@ def _fused_solve(weights, z0, ctx_steps, noise, dts):
     return zs, qs
 
 
-def _fused_solve_fwd_impl(weights, z0, ctx_steps, noise, dts, interpret=None):
+def _fused_solve_fwd_impl(weights, z0, ctx_steps, noise, dts, interpret=None,
+                          steps_per_block=None):
     interpret = _INTERPRET if interpret is None else interpret
     n, B, C = ctx_steps.shape
     L = z0.shape[1]
-    kernel = functools.partial(_fwd_kernel, L=L, C=C)
+    S = _pick_steps_per_block(n, steps_per_block)
+    kernel = functools.partial(_fwd_kernel, L=L, C=C, S=S)
 
     def kern(z0_ref, ctx_ref, noise_ref, dts_ref, *rest):
         wrefs = rest[:len(_WNAMES)]
@@ -293,16 +318,16 @@ def _fused_solve_fwd_impl(weights, z0, ctx_steps, noise, dts, interpret=None):
 
     zs, qs = pl.pallas_call(
         kern,
-        grid=(n,),
+        grid=(n // S,),
         in_specs=[
             pl.BlockSpec((B, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, B, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, B, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(_WNAMES),
         out_specs=[
-            pl.BlockSpec((1, B, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, B, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             # zs streams in the weights' dtype (halved HBM traffic in bf16
@@ -327,10 +352,11 @@ def _fused_solve_fwd(weights, z0, ctx_steps, noise, dts):
 
 
 def _fused_solve_bwd_impl(weights, z0, ctx_steps, noise, dts, zs, gz, gq,
-                          interpret=None):
+                          interpret=None, steps_per_block=None):
     interpret = _INTERPRET if interpret is None else interpret
     n, B, C = ctx_steps.shape
     L = z0.shape[1]
+    S = _pick_steps_per_block(n, steps_per_block)
     wdt = weights["W1all"].dtype
     # Cotangents may be weak/promoted dtypes (e.g. f64 under jax_enable_x64);
     # the kernel's refs are in the stream dtype (gz) / state dtype (gq).
@@ -342,7 +368,7 @@ def _fused_solve_bwd_impl(weights, z0, ctx_steps, noise, dts, zs, gz, gq,
     ginc = jnp.cumsum(gq[::-1], axis=0)[::-1]          # (n, B, 1)
     flip = lambda a: a[::-1]                           # noqa: E731
 
-    kernel = functools.partial(_bwd_kernel, L=L, C=C)
+    kernel = functools.partial(_bwd_kernel, L=L, C=C, S=S)
 
     n_w = len(_WNAMES)
 
@@ -357,7 +383,7 @@ def _fused_solve_bwd_impl(weights, z0, ctx_steps, noise, dts, zs, gz, gq,
                *wrefs, dz0_ref=dz0_ref, dctx_ref=dctx_ref,
                dnoise_ref=dnoise_ref, dw_refs=dw_refs, dz_s=dz_s)
 
-    step_spec = lambda d: pl.BlockSpec((1, B, d), lambda i: (i, 0, 0),  # noqa: E731
+    step_spec = lambda d: pl.BlockSpec((S, B, d), lambda i: (i, 0, 0),  # noqa: E731
                                        memory_space=pltpu.VMEM)
     # Weight-gradient accumulators are float32 regardless of the weights'
     # dtype: 128 steps of += in bf16 would truncate badly. Cast back to the
@@ -366,7 +392,7 @@ def _fused_solve_bwd_impl(weights, z0, ctx_steps, noise, dts, zs, gz, gq,
                  for k in _WNAMES]
     out = pl.pallas_call(
         kern,
-        grid=(n,),
+        grid=(n // S,),
         in_specs=[
             step_spec(L),                                   # z_pre (flipped)
             step_spec(C),                                   # ctx (flipped)
