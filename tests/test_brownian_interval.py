@@ -216,6 +216,34 @@ def test_consistency(levy_area_approximation):
                                        np.asarray(U), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("levy_area_approximation", ["davie", "foster"])
+def test_levy_area_query_context_independent(levy_area_approximation):
+    """The full Levy area A of one interval must be bitwise identical no
+    matter HOW the interval is queried: direct shallow __call__, query_grid
+    alongside a non-dyadic point (which deepens the host descent to full
+    float64 depth and previously changed the packed-word count keying A's
+    noise), and a traced full-depth query under jit. Regression test for
+    the depth-dependent n_words bug (code-review r2)."""
+    bm = tsde.BrownianInterval(t0=0., t1=1., size=(2, 3), dtype=jnp.float64,
+                               levy_area_approximation=levy_area_approximation,
+                               entropy=99)
+    ta, tb = 0.25, 0.375
+    W_d, A_d = bm(ta, tb, return_A=True)
+    # grid containing 0.1 forces a depth-52 descent for every grid point
+    W_g, _, A_g = bm.query_grid(np.asarray([0.0, 0.1, ta, tb, 1.0]),
+                                return_A=True)
+    assert bool(jnp.all(W_g[2] == W_d))
+    assert bool(jnp.all(A_g[2] == A_d))
+    # Traced queries draw the SAME noise (same canonical key words); values
+    # agree to ~1 ulp — jit fuses the H*W - W*H chain with FMA contraction,
+    # so bitwise equality across the eager/jit boundary is not promised
+    # for A (W/U/H are bitwise, asserted above and in test_inside_jit*).
+    W_t, A_t = jax.jit(lambda a, b: bm(a, b, return_A=True))(ta, tb)
+    assert bool(jnp.all(W_t == W_d))
+    np.testing.assert_allclose(np.asarray(A_t), np.asarray(A_d),
+                               rtol=0, atol=1e-15)
+
+
 @pytest.mark.parametrize("random_order", [False, True])
 @pytest.mark.parametrize("levy_area_approximation, return_U, return_A",
                          [("none", False, False), ("space-time", True, False),

@@ -23,7 +23,7 @@ def _interpret_mode():
     FS._INTERPRET = old
 
 
-def _init_tower(key, sizes, acts, scale=0.3):
+def _init_tower(key, sizes, acts, scale=0.3, dtype=jnp.float32):
     layers = []
     for i, (a, b) in enumerate(zip(sizes[:-1], sizes[1:])):
         k1, k2, key = jax.random.split(key, 3)
@@ -32,7 +32,8 @@ def _init_tower(key, sizes, acts, scale=0.3):
         w = jax.random.normal(k1, (a, b), jnp.float32) * float(
             scale / np.sqrt(a))
         bb = jax.random.normal(k2, (b,), jnp.float32) * 0.05
-        layers.append((w, bb, acts[i]))
+        layers.append((jnp.asarray(w, dtype), jnp.asarray(bb, dtype),
+                       acts[i]))
     return FS.TowerSpec(layers)
 
 
@@ -131,10 +132,36 @@ def test_fused_sdeint_grid_guard():
     diffusion = FS.TowerSpec([(jnp.zeros((2, 2)), jnp.zeros((2,)),
                                "sigmoid")])
     y0 = jnp.zeros((4, 2))
-    with pytest.raises(ValueError):
-        # ts not on the dt grid (kernel path; the XLA fallback interpolates)
-        FS.fused_sdeint(drift, diffusion, y0, [0.0, 0.3, 1.0],
-                        jax.random.PRNGKey(0), 0.25, dispatch="fused")
+    # ts not on the dt grid raises on EVERY dispatch path — validation runs
+    # before the dispatch decision, so 'auto' is purely a performance choice
+    # (code-review r2).
+    for dispatch in ("fused", "xla", "auto"):
+        with pytest.raises(ValueError):
+            FS.fused_sdeint(drift, diffusion, y0, [0.0, 0.3, 1.0],
+                            jax.random.PRNGKey(0), 0.25, dispatch=dispatch)
+
+
+def test_dispatch_dtype_contract():
+    """Both usable dispatch paths compute in the towers' dtype: bf16 towers
+    + f32 y0 return bf16 states (previously the XLA fallback silently
+    returned f32 — the output dtype flipped on a width heuristic). The
+    generic kernels are f32-only, so 'auto' routes bf16 towers to XLA and
+    'fused' rejects them with a clear error."""
+    key = jax.random.PRNGKey(11)
+    d = 3
+    drift = _init_tower(jax.random.fold_in(key, 1), [d, 8, d],
+                        ("softplus", "linear"), dtype=jnp.bfloat16)
+    diffusion = _init_tower(jax.random.fold_in(key, 2), [d, 8, d],
+                            ("lipswish", "sigmoid"), dtype=jnp.bfloat16)
+    y0 = jnp.zeros((4, d), jnp.float32)
+    for dispatch in ("xla", "auto"):
+        ys = FS.fused_sdeint(drift, diffusion, y0, np.linspace(0., 1., 3),
+                             jax.random.fold_in(key, 3), 0.5,
+                             dispatch=dispatch)
+        assert ys.dtype == jnp.bfloat16, (dispatch, ys.dtype)
+    with pytest.raises(ValueError, match="float32-only"):
+        FS.fused_sdeint(drift, diffusion, y0, np.linspace(0., 1., 3),
+                        jax.random.fold_in(key, 3), 0.5, dispatch="fused")
 
 
 def test_grad_of_jit():

@@ -317,6 +317,18 @@ def test_traced_ts_fixed_step():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                rtol=1e-12, atol=1e-12)
 
+    # A traced schedule must start at the grid anchor bm.t0: the identical
+    # eager call would anchor at ts[0] and silently solve a different
+    # problem, so the traced path NaN-poisons instead (code-review r2).
+    out_shifted = jf(jnp.asarray([0.5, 0.75, 1.0, 1.1, 1.2][:5]))
+    assert bool(jnp.all(jnp.isnan(out_shifted)))
+    # Schedules ENDING early are fine (the eager grid is a prefix).
+    ts_sub = jnp.asarray([0.0, 0.25, 0.5, 0.6, 0.7])
+    ref_sub = tsde.sdeint(sde, y0, np.asarray(ts_sub), bm=bm, method="euler",
+                          dt=0.05)
+    np.testing.assert_allclose(np.asarray(jf(ts_sub)), np.asarray(ref_sub),
+                               rtol=1e-12, atol=1e-12)
+
     # Adaptive + traced ts raises; traced ts without bm raises.
     with pytest.raises(ValueError):
         jax.jit(lambda ts: tsde.sdeint(sde, y0, ts, bm=bm, dt=0.05,
@@ -328,6 +340,11 @@ def test_traced_ts_fixed_step():
     # depends on the concrete schedule: traced ts raises cleanly.
     with pytest.raises(ValueError, match="sdeint_adjoint"):
         jax.jit(lambda ts: tsde.sdeint_adjoint(sde, y0, ts, bm=bm, dt=0.05,
+                                               method="euler"))(ts1)
+    # ... and with the SAME error when no bm is given — not a misleading
+    # "provide an explicit bm" detour first (code-review r2).
+    with pytest.raises(ValueError, match="sdeint_adjoint"):
+        jax.jit(lambda ts: tsde.sdeint_adjoint(sde, y0, ts, dt=0.05,
                                                method="euler"))(ts1)
 
 

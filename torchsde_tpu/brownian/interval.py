@@ -292,9 +292,17 @@ class BrownianInterval(base.BaseBrownian):
         sqrt_hs_d = jnp.asarray(np.sqrt(widths), dtype)
         halves_t = jnp.asarray(0.5 * widths, ftype)
         # Packed-bit weights: level i -> word i//30, bit position i%30.
+        # The word COUNT is canonical — derived from self._levels, never from
+        # the (context-dependent) trimmed descent depth — because the packed
+        # words key the Levy-area noise via one fold_in per word
+        # (_levy_area): a depth-dependent count would give the same interval
+        # different A in different query contexts (shallow host-trimmed vs
+        # traced full-depth descents). Trailing words stay zero for shallow
+        # descents, matching the all-left deeper branches of a full-depth
+        # descent of the same time.
         word_idx = np.arange(depth) // 30
         pow2 = jnp.asarray(1 << (np.arange(depth) % 30), jnp.int32)
-        n_words = max(1, int(word_idx.max()) + 1 if depth else 1)
+        n_words = max(1, -(-int(self._levels) // 30))
 
         carry = dict(w_pref=zero, i_pref=zero,
                      w_node=self._W_root, h_node=self._H_root,
@@ -525,6 +533,11 @@ class BrownianInterval(base.BaseBrownian):
         else:  # davie
             std = jnp.sqrt(h * h / 12.0)
         A = A + std * noise
+        # The diagonal is exactly zero by skew symmetry (noise is
+        # skew-symmetrised too); enforce it so jit — which may fuse
+        # H_i*W_i - W_i*H_i into an FMA with a ~1-ulp residual — agrees
+        # bitwise with eager queries.
+        A = A * (1.0 - jnp.eye(m, dtype=dtype))
         return jnp.where(degenerate, jnp.zeros_like(A), A)
 
 

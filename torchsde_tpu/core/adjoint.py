@@ -466,13 +466,16 @@ def sdeint_adjoint(sde,
                 f"gradients automatically); `adjoint_params` itself is redundant "
                 f"in this framework.")
 
-    sde, y0, ts, bm, method, options = sdeint_mod.check_contract(
-        sde, y0, ts, bm, method, adaptive, options, names, logqp, key, entropy)
+    # Reject traced ts BEFORE check_contract: its traced branch would first
+    # demand an explicit bm, sending the user through a misleading two-step
+    # failure before hitting this (the real) limitation.
     if isinstance(ts, jax.core.Tracer):
         raise ValueError(
             "Traced `ts` is supported by `sdeint` (fixed-step, explicit bm) "
             "but not `sdeint_adjoint`: the adjoint steps exactly to each "
             "output time, so its step grid depends on the concrete schedule.")
+    sde, y0, ts, bm, method, options = sdeint_mod.check_contract(
+        sde, y0, ts, bm, method, adaptive, options, names, logqp, key, entropy)
     adjoint_method = _select_default_adjoint_method(sde, method, adjoint_method)
     adjoint_options = {} if adjoint_options is None else dict(adjoint_options)
 

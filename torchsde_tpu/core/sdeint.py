@@ -193,6 +193,17 @@ def _integrate(solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol,
     ys, extra_out = integrate.integrate_fixed(
         solver, y0, extra_solver_state, grid, ts, noise_xs=noise_xs,
         time_dtype=time_dtype, unroll=unroll, remat=remat)
+    if ts_traced:
+        # The traced-ts grid is anchored at bm.t0, so y0 is the state at
+        # bm.t0 — a traced schedule starting elsewhere would silently solve
+        # a DIFFERENT problem than the identical eager call (which anchors
+        # at ts[0]). The anchor can't be validated at trace time, so poison
+        # the outputs loudly instead of returning a divergent solution.
+        # (Schedules ENDING before bm.t1 are fine: the eager grid is a
+        # prefix of the traced one, and per-interval noise keys coincide.)
+        ok = jnp.asarray(ts, time_dtype)[0] == jnp.asarray(grid[0],
+                                                           time_dtype)
+        ys = jnp.where(ok, ys, jnp.full_like(ys, jnp.nan))
     return ys, extra_out, stats
 
 

@@ -712,9 +712,12 @@ def fused_sdeint(drift, diffusion, y0, ts, key, dt, method="euler",
     Matches ``sdeint(sde, y0, ts, method=method, dt=dt, key=key)`` bitwise
     in the noise stream and to float tolerance in values/gradients, for
     SDEs whose ``f``/``g`` evaluate exactly these towers on ``[t? | y]``.
-    Fixed-step only, and the step grid must land on ``ts`` exactly (each
-    output time a multiple of ``dt`` from ``t0``); output interpolation
-    stays outside the kernels, as ordinary XLA.
+    The solve computes in the towers' dtype: ``y0`` is cast on entry and
+    the noise stream is the one ``sdeint`` would draw for a ``y0`` of that
+    dtype, identically on every dispatch path. Fixed-step only, and the
+    step grid must land on ``ts`` exactly (each output time a multiple of
+    ``dt`` from ``t0``) — enforced on every dispatch path; output
+    interpolation stays outside the kernels, as ordinary XLA.
 
     ``dispatch``: ``'auto'`` (default) uses the Pallas kernels only where the
     measured envelope says they win (near-lane-width towers) and otherwise
@@ -730,13 +733,11 @@ def fused_sdeint(drift, diffusion, y0, ts, key, dt, method="euler",
         raise ValueError("fused_sdeint supports diagonal / general noise")
     if dispatch not in ("auto", "fused", "xla"):
         raise ValueError("dispatch must be 'auto', 'fused' or 'xla'")
-    if dispatch == "xla" or (dispatch == "auto"
-                             and not _auto_fuse(drift, diffusion)):
-        from ..core.sdeint import sdeint
-        sde_type = "ito" if method == "euler" else "stratonovich"
-        sde = tower_sde(drift, diffusion, noise_type, sde_type,
-                        with_time=with_time)
-        return sdeint(sde, y0, ts, method=method, dt=dt, key=key)
+
+    # ALL contract validation and the dtype contract come BEFORE the
+    # dispatch decision, so 'auto' is purely a performance choice: both
+    # paths accept/reject the same inputs, compute in the towers' dtype,
+    # and draw the same noise stream (code-review r2).
     diag = noise_type == "diagonal"
     S = y0.shape[1]
     B = y0.shape[0]
@@ -753,19 +754,36 @@ def fused_sdeint(drift, diffusion, y0, ts, key, dt, method="euler",
     _check_tower_io(diffusion, "diffusion", S, with_time)
 
     wdtype = drift.layers[0][0].dtype
-    # Noise is sampled in the USER's y0 dtype — exactly what
-    # sdeint(..., bm=None) does (the stream is dtype-dependent) — then cast
-    # to the kernels' compute dtype.
-    noise_dtype = jnp.result_type(y0)
+    # The solve computes in the towers' dtype on both paths; y0 is cast on
+    # entry, and the noise stream is the one sdeint would draw for a y0 of
+    # that dtype (the stream is dtype-dependent).
     y0 = jnp.asarray(y0, wdtype)
     ts_np = np.asarray(ts, np.float64)
     grid = integrate.build_step_grid(ts_np[0], ts_np[-1], dt)
+    # ts-on-grid validation applies to BOTH paths (the fused path also uses
+    # idx for output gathering).
     idx = _grid_indices(grid, ts_np, "fused_sdeint")
+
+    # The generic kernels compute in f32 (mixed-precision kernels exist only
+    # for the specialised flagship modules, ops/latent_fused.py /
+    # ops/gan_fused.py): 'auto' routes non-f32 towers to the XLA scan,
+    # 'fused' rejects them loudly.
+    if dispatch == "fused" and wdtype != jnp.float32:
+        raise ValueError(
+            f"fused_sdeint kernels are float32-only (towers are {wdtype}); "
+            f"use dispatch='xla'/'auto' or float32 towers")
+    if dispatch == "xla" or (dispatch == "auto"
+                             and (wdtype != jnp.float32
+                                  or not _auto_fuse(drift, diffusion))):
+        from ..core.sdeint import sdeint
+        sde_type = "ito" if method == "euler" else "stratonovich"
+        sde = tower_sde(drift, diffusion, noise_type, sde_type,
+                        with_time=with_time)
+        return sdeint(sde, y0, ts, method=method, dt=dt, key=key)
 
     # sdeint's default-bm path samples with the BrownianInterval's _key,
     # which is the key verbatim (brownian/interval.py:128).
-    W, _, _ = integrate.sample_grid_noise(key, grid, (B, m), noise_dtype)
-    W = jnp.asarray(W, wdtype)
+    W, _, _ = integrate.sample_grid_noise(key, grid, (B, m), wdtype)
 
     fw, gw = drift.pack(), diffusion.pack()
     grid_dev = jnp.asarray(grid, wdtype)
@@ -984,31 +1002,38 @@ def fused_sdeint_logqp(drift, prior, diffusion, y0, ts, key, dt,
 
     if dispatch not in ("auto", "fused", "xla"):
         raise ValueError("dispatch must be 'auto', 'fused' or 'xla'")
-    if dispatch == "xla" or (dispatch == "auto"
-                             and not _auto_fuse(drift, prior, diffusion)):
-        from ..core.sdeint import sdeint
-        sde = tower_sde(drift, diffusion, "diagonal", "ito",
-                        with_time=with_time, prior=prior)
-        return sdeint(sde, y0, ts, method="euler", dt=dt, key=key,
-                      logqp=True)
 
+    # Validation + dtype contract BEFORE dispatch (same rationale as
+    # fused_sdeint): 'auto' must be purely a performance choice.
     S = y0.shape[1]
     B = y0.shape[0]
     for spec, name in ((drift, "drift"), (prior, "prior"),
                        (diffusion, "diffusion")):
         _check_tower_io(spec, name, S, with_time, out_size=S)
     wdtype = drift.layers[0][0].dtype
-    noise_dtype = jnp.result_type(y0)
     y0 = jnp.asarray(y0, wdtype)
     ts_np = np.asarray(ts, np.float64)
     grid = integrate.build_step_grid(ts_np[0], ts_np[-1], dt)
     idx = _grid_indices(grid, ts_np, "fused_sdeint_logqp")
 
+    if dispatch == "fused" and wdtype != jnp.float32:
+        raise ValueError(
+            f"fused_sdeint_logqp kernels are float32-only (towers are "
+            f"{wdtype}); use dispatch='xla'/'auto' or float32 towers")
+    if dispatch == "xla" or (dispatch == "auto"
+                             and (wdtype != jnp.float32
+                                  or not _auto_fuse(drift, prior,
+                                                    diffusion))):
+        from ..core.sdeint import sdeint
+        sde = tower_sde(drift, diffusion, "diagonal", "ito",
+                        with_time=with_time, prior=prior)
+        return sdeint(sde, y0, ts, method="euler", dt=dt, key=key,
+                      logqp=True)
+
     # Default-bm parity: sdeint's logqp wrapper augments the state with one
     # KL channel, so its BrownianInterval has size (B, d+1).
-    W, _, _ = integrate.sample_grid_noise(key, grid, (B, S + 1),
-                                          noise_dtype)
-    W = jnp.asarray(W[..., :S], wdtype)
+    W, _, _ = integrate.sample_grid_noise(key, grid, (B, S + 1), wdtype)
+    W = W[..., :S]
 
     fw, hw, gw = drift.pack(), prior.pack(), diffusion.pack()
     grid_dev = jnp.asarray(grid, wdtype)

@@ -643,13 +643,23 @@ def latent_logqp_solve_fused(model, z0, ts, key, dt):
     ``BrownianInterval``-keyed grid sampling, core/sdeint.py:155-162), so
     ``fused`` and XLA solves of the same ``key`` are directly comparable.
     """
+    z0, ctx_steps, noise, dts, grid = _prep_solve(model, z0, ts, key, dt)
+    weights = pack_weights(model)
+    zs_steps, qs_steps = _fused_solve(weights, z0, ctx_steps, noise, dts)
+    return _interp_tail(ts, grid, z0, zs_steps, qs_steps, model.latent_size)
+
+
+def _prep_solve(model, z0, ts, key, dt):
+    """Shared per-replica solve prep (single wrapper uses it directly, the
+    multi wrapper vmaps the key-/model-dependent pieces): returns
+    ``(z0, ctx_steps, noise, dts, grid)``."""
     import numpy as np
 
     from ..core import integrate
     from ..core.sdeint import _time_dtype
 
     L = model.latent_size
-    B = z0.shape[0]
+    B = z0.shape[-2]
     C = model.context_size
     if L + C + 1 > _LANE:
         raise ValueError(f"latent+context must fit one lane tile: "
@@ -673,27 +683,48 @@ def latent_logqp_solve_fused(model, z0, ts, key, dt):
     # kernel consumes the first L channels (the logqp channel's diffusion
     # is zero). In bf16 mixed mode the stream is sampled in bf16 — the same
     # stream a fully-bf16 XLA solve would draw (bm dtype follows y0).
-    W, _, _ = integrate.sample_grid_noise(key, grid, (B, L + 1), wdtype)
-    noise = W[..., :L]
+    def replica_noise(key):
+        W, _, _ = integrate.sample_grid_noise(key, grid, (B, L + 1), wdtype)
+        return W[..., :L]
 
     # Per-step context rows: the model looks ctx up by time with
     # searchsorted(ctx_ts, t, 'left') at the step's left endpoint
     # (models/latent_sde.py:_ctx_at). jnp ops so this stays differentiable —
     # the gather's transpose IS the dctx scatter back into (T, B, C).
     t0s = jnp.asarray(grid[:-1], _time_dtype(z0))
-    idx = jnp.clip(jnp.searchsorted(model._ctx_ts, t0s, side="left"), 0,
-                   model._ctx.shape[0] - 1)
-    ctx_steps = jnp.asarray(model._ctx, wdtype)[idx]  # (n, B, C)
+
+    def replica_ctx(ctx_ts, ctx):
+        idx = jnp.clip(jnp.searchsorted(ctx_ts, t0s, side="left"), 0,
+                       ctx.shape[0] - 1)
+        return jnp.asarray(ctx, wdtype)[idx]      # (n, B, C)
+
+    multi = z0.ndim == 3                           # (K, B, L) stacked
+    if multi:
+        noise = jax.vmap(replica_noise)(key)
+        ctx_steps = jax.vmap(replica_ctx)(model._ctx_ts, model._ctx)
+    else:
+        noise = replica_noise(key)
+        ctx_steps = replica_ctx(model._ctx_ts, model._ctx)
 
     # dt by f32 grid subtraction — BITWISE what integrate_fixed's scan uses
     # (t1 - t0 of the f32-cast grid), not f32(np.diff(float64 grid)).
     grid_dev = jnp.asarray(grid, z0.dtype)
     dts = grid_dev[1:] - grid_dev[:-1]
-    weights = pack_weights(model)
-    zs_steps, qs_steps = _fused_solve(weights, z0, ctx_steps, noise, dts)
+    return z0, ctx_steps, noise, dts, grid
 
-    # States on the full grid (z0/q0 prepended), interpolated onto ts and
-    # parsed exactly like the XLA path (logqp -> per-interval differences).
+
+def _interp_tail(ts, grid, z0, zs_steps, qs_steps, L):
+    """States on the full grid (z0/q0 prepended), interpolated onto ts and
+    parsed exactly like the XLA path (logqp -> per-interval differences).
+    Leading replica axes vmap through."""
+    from ..core import integrate
+
+    if z0.ndim == 3:
+        return jax.vmap(
+            lambda z0_k, zs_k, qs_k: _interp_tail(ts, grid, z0_k, zs_k,
+                                                  qs_k, L)
+        )(z0, zs_steps, qs_steps)
+    B = z0.shape[0]
     zq_grid = jnp.concatenate([zs_steps, qs_steps], axis=-1)
     zq0 = jnp.concatenate([z0, jnp.zeros((B, 1), z0.dtype)], axis=-1)
     zq_full = jnp.concatenate([zq0[None], zq_grid], axis=0)
@@ -720,52 +751,9 @@ def latent_logqp_solve_fused_multi(models, z0, ts, keys, dt):
     Returns ``(zs, log_ratio)`` with leading replica axes:
     ``(K, T, B, L)`` and ``(K, T-1, B)``.
     """
-    import numpy as np
-
-    from ..core import integrate
-    from ..core.sdeint import _time_dtype
-
-    L = models.latent_size
-    C = models.context_size
-    K, B = z0.shape[0], z0.shape[1]
-    if L + C + 1 > _LANE:
-        raise ValueError(f"latent+context must fit one lane tile: "
-                         f"L + C <= {_LANE - 1} (got {L} + {C})")
-    wdtype = models.f_net.layers[0].w.dtype
-    sdtype = jnp.float32 if wdtype == jnp.bfloat16 else wdtype
-    z0 = jnp.asarray(z0, sdtype)
-    ts_np = np.asarray(ts, np.float64)
-    grid = integrate.build_step_grid(ts_np[0], ts_np[-1], dt)
-
-    # Per-replica noise: each replica draws the SAME stream its
-    # single-replica solve would (bitwise), from its own key.
-    Wfull = jax.vmap(
-        lambda k: integrate.sample_grid_noise(k, grid, (B, L + 1), wdtype)[0]
-    )(keys)                                            # (K, n, B, L+1)
-    noise = Wfull[..., :L]
-
-    t0s = jnp.asarray(grid[:-1], _time_dtype(z0))
-
-    def gather_ctx(ctx_ts, ctx):
-        idx = jnp.clip(jnp.searchsorted(ctx_ts, t0s, side="left"), 0,
-                       ctx.shape[0] - 1)
-        return jnp.asarray(ctx, wdtype)[idx]
-
-    ctx_steps = jax.vmap(gather_ctx)(models._ctx_ts, models._ctx)
-
-    grid_dev = jnp.asarray(grid, z0.dtype)
-    dts = grid_dev[1:] - grid_dev[:-1]
+    z0, ctx_steps, noise, dts, grid = _prep_solve(models, z0, ts, keys, dt)
     weights = jax.vmap(pack_weights)(models)
     zs_steps, qs_steps = _fused_solve_multi(weights, z0, ctx_steps, noise,
                                             dts)
-
-    ts_dev = jnp.asarray(ts, z0.dtype)
-
-    def tail(zs_k, qs_k, z0_k):
-        zq_grid = jnp.concatenate([zs_k, qs_k], axis=-1)
-        zq0 = jnp.concatenate([z0_k, jnp.zeros((B, 1), z0.dtype)], axis=-1)
-        zq_full = jnp.concatenate([zq0[None], zq_grid], axis=0)
-        ys = integrate.linear_interp_on_grid(ts_dev, grid_dev, zq_full)
-        return ys[:, :, :L], ys[1:, :, L] - ys[:-1, :, L]
-
-    return jax.vmap(tail)(zs_steps, qs_steps, z0)
+    return _interp_tail(ts, grid, z0, zs_steps, qs_steps,
+                        models.latent_size)
