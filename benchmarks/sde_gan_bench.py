@@ -14,7 +14,11 @@ Usage: python benchmarks/sde_gan_bench.py [--cpu]. Recorded in BENCH_NOTES.md.
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def measure(batch, t_size, hidden, mlp_size, num_layers, n_steps=32,
@@ -87,10 +91,92 @@ def measure(batch, t_size, hidden, mlp_size, num_layers, n_steps=32,
                 device=jax.devices()[0].platform)
 
 
+def measure_multi(K, batch, t_size, hidden, mlp_size, num_layers,
+                  n_steps=24, platform=None, dtype="float32"):
+    """Aggregate adversarial-training throughput for K independent GAN
+    replicas in ONE jitted program (parallel.replicas pattern): the K
+    sequential reversible-Heun generator chains + CDE critic chains
+    interleave on the chip, same remedy as the flagship's multi-replica
+    table (BENCH_NOTES §8) applied to the second north-star workload."""
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from torchsde_tpu.models import sde_gan as G
+
+    jdt = jnp.dtype(dtype).type
+    key = jax.random.PRNGKey(0)
+    ts_dev, data = G.get_ou_data(jax.random.fold_in(key, 0),
+                                 max(batch, 1024), t_size)
+    ts = np.asarray(ts_dev)
+    batch_data = jnp.asarray(data[:batch], jdt)
+
+    def make_pair(k):
+        gen = G.Generator(jax.random.fold_in(k, 1), data_size=1,
+                          initial_noise_size=5, noise_size=3,
+                          hidden_size=hidden, mlp_size=mlp_size,
+                          num_layers=num_layers, dtype=jdt)
+        disc = G.Discriminator(jax.random.fold_in(k, 2), data_size=1,
+                               hidden_size=hidden + 1, mlp_size=mlp_size,
+                               num_layers=num_layers, dtype=jdt)
+        return gen, disc
+
+    gens, discs = jax.vmap(make_pair)(jax.random.split(key, K))
+    opt_g = optax.adadelta(2e-4)
+    opt_d = optax.adadelta(1e-3)
+    sgs = jax.vmap(opt_g.init)(gens)
+    sds = jax.vmap(opt_d.init)(discs)
+
+    def one(gen, disc, sg, sd, k):
+        loss, g_gen, g_disc = G.gan_grads(gen, disc, k, ts, batch_data,
+                                          adjoint=False)
+        ug, sg = opt_g.update(g_gen, sg, gen)
+        gen = optax.apply_updates(gen, ug)
+        ud, sd = opt_d.update(g_disc, sd, disc)
+        disc = optax.apply_updates(disc, ud)
+        return gen, disc.clip_weights(), sg, sd, loss
+
+    @jax.jit
+    def step(state, i):
+        gens, discs, sgs, sds = state
+        ks = jax.vmap(lambda j: jax.random.fold_in(
+            jax.random.fold_in(key, 9), i * K + j))(jnp.arange(K))
+        gens, discs, sgs, sds, losses = jax.vmap(one)(gens, discs, sgs,
+                                                      sds, ks)
+        return (gens, discs, sgs, sds), losses
+
+    state, losses = step((gens, discs, sgs, sds), jnp.int32(0))
+    float(jnp.asarray(losses[-1], jnp.float32))
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, losses = step(state, jnp.int32(i + 1))
+    float(jnp.asarray(losses[-1], jnp.float32))
+    agg = K * n_steps / (time.perf_counter() - t0)
+    return dict(K=K, dtype=dtype, batch=batch, t_size=t_size,
+                agg_steps_per_sec=round(agg, 2),
+                per_replica=round(agg / K, 2),
+                device=jax.devices()[0].platform)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--K", type=str, default=None,
+                    help="comma-separated replica counts: run the "
+                         "multi-replica aggregate sweep instead")
+    ap.add_argument("--dtypes", type=str, default="float32,bfloat16")
     args = ap.parse_args()
+    if args.K:
+        platform = "cpu" if args.cpu else None
+        for dtype in args.dtypes.split(","):
+            for K in (int(k) for k in args.K.split(",")):
+                print(json.dumps(measure_multi(
+                    K, batch=1024, t_size=64, hidden=16, mlp_size=16,
+                    num_layers=1, platform=platform, dtype=dtype)))
+        return
     platform = "cpu" if args.cpu else None
     # reference-scale config (sde_gan.py:440: batch 1024, t_size 64,
     # hidden 16, mlp 16, 1 layer) and the repo example's smoke scale
