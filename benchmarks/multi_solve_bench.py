@@ -42,6 +42,9 @@ def main():
                    help="comma-separated replica counts")
     p.add_argument("--dtypes", type=str, default="float32,bfloat16")
     p.add_argument("--paths", type=str, default="xla,fused")
+    p.add_argument("--packed", action="store_true",
+                   help="packed training state + 4 steps per dispatch "
+                        "(bench.py methodology) for peak-aggregate rows")
     p.add_argument("--remat", action="store_true",
                    help="checkpoint the solver scan body (sdeint remat=True): "
                         "O(states) instead of O(activations) residuals, "
@@ -96,6 +99,19 @@ def main():
                 models, grads)
             return models, losses
 
+        if args.packed:
+            from torchsde_tpu.utils.packing import pack_train_step
+            ps = pack_train_step(step, models)
+            mstep = ps.multi(4)
+            n_steps = (n_steps // 4) * 4
+            p_ = ps.pack(models)
+            p_, losses = mstep(p_, jnp.int32(0))
+            float(jnp.asarray(losses[-1, -1], jnp.float32))
+            t0 = time.perf_counter()
+            for i in range(n_steps // 4):
+                p_, losses = mstep(p_, jnp.int32(i + 1))
+            float(jnp.asarray(losses[-1, -1], jnp.float32))
+            return K * n_steps / (time.perf_counter() - t0)
         m, losses = step(models, jnp.int32(0))   # compile + warmup
         float(jnp.asarray(losses[-1], jnp.float32))
         t0 = time.perf_counter()

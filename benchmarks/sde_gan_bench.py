@@ -92,7 +92,7 @@ def measure(batch, t_size, hidden, mlp_size, num_layers, n_steps=32,
 
 
 def measure_multi(K, batch, t_size, hidden, mlp_size, num_layers,
-                  n_steps=24, platform=None, dtype="float32"):
+                  n_steps=24, platform=None, dtype="float32", packed=False):
     """Aggregate adversarial-training throughput for K independent GAN
     replicas in ONE jitted program (parallel.replicas pattern): the K
     sequential reversible-Heun generator chains + CDE critic chains
@@ -148,14 +148,30 @@ def measure_multi(K, batch, t_size, hidden, mlp_size, num_layers,
                                                       sds, ks)
         return (gens, discs, sgs, sds), losses
 
-    state, losses = step((gens, discs, sgs, sds), jnp.int32(0))
-    float(jnp.asarray(losses[-1], jnp.float32))
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, losses = step(state, jnp.int32(i + 1))
-    float(jnp.asarray(losses[-1], jnp.float32))
+    state0 = (gens, discs, sgs, sds)
+    if packed:
+        # Packed state + 4 steps per dispatch (bench.py methodology): the
+        # stacked GAN state is ~400 leaves x K otherwise.
+        from torchsde_tpu.utils.packing import pack_train_step
+        ps = pack_train_step(step, state0)
+        mstep = ps.multi(4)
+        n_steps = (n_steps // 4) * 4
+        p = ps.pack(state0)
+        p, losses = mstep(p, jnp.int32(0))
+        float(jnp.asarray(losses[-1, -1], jnp.float32))
+        t0 = time.perf_counter()
+        for i in range(n_steps // 4):
+            p, losses = mstep(p, jnp.int32(i + 1))
+        float(jnp.asarray(losses[-1, -1], jnp.float32))
+    else:
+        state, losses = step(state0, jnp.int32(0))
+        float(jnp.asarray(losses[-1], jnp.float32))
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, losses = step(state, jnp.int32(i + 1))
+        float(jnp.asarray(losses[-1], jnp.float32))
     agg = K * n_steps / (time.perf_counter() - t0)
-    return dict(K=K, dtype=dtype, batch=batch, t_size=t_size,
+    return dict(K=K, dtype=dtype, batch=batch, t_size=t_size, packed=packed,
                 agg_steps_per_sec=round(agg, 2),
                 per_replica=round(agg / K, 2),
                 device=jax.devices()[0].platform)
@@ -168,6 +184,7 @@ def main():
                     help="comma-separated replica counts: run the "
                          "multi-replica aggregate sweep instead")
     ap.add_argument("--dtypes", type=str, default="float32,bfloat16")
+    ap.add_argument("--packed", action="store_true")
     args = ap.parse_args()
     if args.K:
         platform = "cpu" if args.cpu else None
@@ -175,7 +192,8 @@ def main():
             for K in (int(k) for k in args.K.split(",")):
                 print(json.dumps(measure_multi(
                     K, batch=1024, t_size=64, hidden=16, mlp_size=16,
-                    num_layers=1, platform=platform, dtype=dtype)))
+                    num_layers=1, platform=platform, dtype=dtype,
+                    packed=args.packed)))
         return
     platform = "cpu" if args.cpu else None
     # reference-scale config (sde_gan.py:440: batch 1024, t_size 64,
