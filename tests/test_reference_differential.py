@@ -1,0 +1,288 @@
+"""Differential parity against the reference implementation itself.
+
+Runs the SAME SDE (identical weights) under the reference torchsde
+(/root/reference, torch CPU float64) and this framework, with the SAME
+Brownian increments — captured cell-by-cell from the reference's own
+BrownianInterval on the solver grid and injected into our solver through a
+table-backed bm — and requires the trajectories to agree to float64
+round-off. This is the literal cross-framework oracle for the per-step
+solver math (reference _core/methods/*), complementing the mathematical
+oracles used elsewhere (KS laws, convergence orders, finite differences).
+
+The reference solver and ours both step exactly on the dt grid for these
+configs (output times are grid multiples), so both query exactly the grid
+cells; querying the cells first and then solving on the same reference bm
+object makes the captured table exact regardless of the reference's
+internal tree-splitting order.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import benchmarks._trampoline_shim  # noqa: F401  (registers 'trampoline')
+
+sys.path.insert(0, "/root/reference")
+
+torch = pytest.importorskip("torch")
+import torchsde as ref  # noqa: E402
+
+import torchsde_tpu as tsde  # noqa: E402
+from torchsde_tpu.brownian import base as bbase  # noqa: E402
+
+B, D, M = 8, 3, 2
+T0, T1 = 0.0, 1.0
+DT = 1.0 / 16
+N_CELLS = 16
+TS = np.linspace(T0, T1, 5)          # all multiples of DT
+GRID = np.linspace(T0, T1, N_CELLS + 1)
+
+_rng = np.random.RandomState(0)
+A_ = _rng.randn(D, D) * 0.3
+b_ = _rng.randn(D) * 0.1
+c_ = _rng.randn(D) * 0.5
+G_ = _rng.randn(D, M) * 0.3
+Y0 = _rng.randn(B, D) * 0.5
+
+ATOL = 1e-9
+
+
+# --------------------------------------------------------------------------- #
+#  The same vector fields on both sides                                       #
+# --------------------------------------------------------------------------- #
+
+
+def _make_ref_sde(sde_type, noise_type):
+    base_cls = ref.SDEIto if sde_type == "ito" else ref.SDEStratonovich
+    At = torch.tensor(A_, dtype=torch.float64)
+    bt = torch.tensor(b_, dtype=torch.float64)
+    ct = torch.tensor(c_, dtype=torch.float64)
+    Gt = torch.tensor(G_, dtype=torch.float64)
+
+    class RefSDE(base_cls):
+        def __init__(self):
+            super().__init__(noise_type=noise_type)
+
+        def f(self, t, y):
+            return torch.tanh(y) @ At + bt
+
+        def g(self, t, y):
+            if noise_type == "diagonal":
+                return 0.5 * torch.sigmoid(y * ct) + 0.1
+            if noise_type == "additive":
+                return Gt.expand(y.shape[0], D, M)
+            if noise_type == "scalar":
+                return (0.3 * torch.tanh(y) + 0.2).unsqueeze(-1)
+            return torch.tanh(y).unsqueeze(-1) * Gt  # general
+
+    return RefSDE()
+
+
+def _make_our_sde(sde_type, noise_type):
+    class OurSDE(tsde.BaseSDE):
+        def __init__(self):
+            super().__init__(noise_type=noise_type, sde_type=sde_type)
+            self.A = jnp.asarray(A_)
+            self.b = jnp.asarray(b_)
+            self.c = jnp.asarray(c_)
+            self.G = jnp.asarray(G_)
+
+        def f(self, t, y):
+            return jnp.tanh(y) @ self.A + self.b
+
+        def g(self, t, y):
+            if noise_type == "diagonal":
+                return 0.5 * jax_sigmoid(y * self.c) + 0.1
+            if noise_type == "additive":
+                return jnp.broadcast_to(self.G, (y.shape[0], D, M))
+            if noise_type == "scalar":
+                return (0.3 * jnp.tanh(y) + 0.2)[..., None]
+            return jnp.tanh(y)[..., None] * self.G
+
+    import jax
+    jax_sigmoid = jax.nn.sigmoid
+    return OurSDE()
+
+
+# --------------------------------------------------------------------------- #
+#  Noise capture + injection                                                  #
+# --------------------------------------------------------------------------- #
+
+
+class TableBrownian(bbase.BaseBrownian):
+    """Replays increments captured from another sampler on a fixed grid."""
+
+    def __init__(self, grid, W, U=None, A=None, levy="none"):
+        self._grid = np.asarray(grid, np.float64)
+        self._W = jnp.asarray(W)
+        self._U = None if U is None else jnp.asarray(U)
+        self._A = None if A is None else jnp.asarray(A)
+        self.t0 = float(grid[0])
+        self.t1 = float(grid[-1])
+        self._levy = levy
+
+    @property
+    def shape(self):
+        return tuple(self._W.shape[1:])
+
+    @property
+    def dtype(self):
+        return self._W.dtype
+
+    @property
+    def levy_area_approximation(self):
+        return self._levy
+
+    def _cell(self, ta, tb):
+        i = int(np.argmin(np.abs(self._grid - float(ta))))
+        j = int(np.argmin(np.abs(self._grid - float(tb))))
+        if j != i + 1:
+            raise ValueError(f"TableBrownian only serves consecutive grid "
+                             f"cells, got ({ta}, {tb})")
+        return i
+
+    def __call__(self, ta, tb=None, return_U=False, return_A=False):
+        i = self._cell(ta, tb)
+        out = [self._W[i]]
+        if return_U:
+            out.append(self._U[i])
+        if return_A:
+            out.append(self._A[i])
+        return out[0] if len(out) == 1 else tuple(out)
+
+    def query_grid(self, grid, return_U=False, return_A=False):
+        if not np.allclose(np.asarray(grid, np.float64), self._grid,
+                           atol=1e-12):
+            raise ValueError("query_grid called with a different grid than "
+                             "the captured table")
+        return (self._W, self._U if return_U else None,
+                self._A if return_A else None)
+
+
+def _capture(ref_bm, need_U=False, need_A=False):
+    Ws, Us, As = [], [], []
+    for i in range(N_CELLS):
+        out = ref_bm(float(GRID[i]), float(GRID[i + 1]),
+                     return_U=need_U, return_A=need_A)
+        if need_U and need_A:
+            w, u, a = out
+        elif need_U:
+            w, u = out
+            a = None
+        elif need_A:
+            w, a = out
+            u = None
+        else:
+            w, u, a = out, None, None
+        Ws.append(w.numpy())
+        if need_U:
+            Us.append(u.numpy())
+        if need_A:
+            As.append(a.numpy())
+    return (np.stack(Ws), np.stack(Us) if need_U else None,
+            np.stack(As) if need_A else None)
+
+
+# --------------------------------------------------------------------------- #
+#  The differential sweep                                                     #
+# --------------------------------------------------------------------------- #
+
+CASES = [
+    # (method, sde_type, noise_type, levy, options)
+    ("euler", "ito", "diagonal", "none", None),
+    ("euler", "ito", "general", "none", None),
+    ("euler", "ito", "additive", "none", None),
+    ("euler", "ito", "scalar", "none", None),
+    ("milstein", "ito", "scalar", "none", None),
+    ("milstein", "ito", "diagonal", "none", None),
+    ("milstein", "ito", "diagonal", "none", {"grad_free": True}),
+    ("srk", "ito", "diagonal", "space-time", None),
+    ("srk", "ito", "additive", "space-time", None),
+    ("midpoint", "stratonovich", "diagonal", "none", None),
+    ("milstein", "stratonovich", "diagonal", "none", None),
+    ("heun", "stratonovich", "general", "none", None),
+    ("euler_heun", "stratonovich", "diagonal", "none", None),
+    ("reversible_heun", "stratonovich", "general", "none", None),
+    ("log_ode", "stratonovich", "general", "foster", None),
+]
+
+
+@pytest.mark.parametrize("method,sde_type,noise_type,levy,options", CASES,
+                         ids=[f"{m}-{s}-{n}" for m, s, n, _, _ in CASES])
+def test_trajectory_matches_reference(method, sde_type, noise_type, levy,
+                                      options):
+    m = {"diagonal": D, "scalar": 1}.get(noise_type, M)
+    ref_bm = ref.BrownianInterval(
+        t0=T0, t1=T1, size=(B, m), dtype=torch.float64, entropy=42,
+        levy_area_approximation=levy)
+    need_U = levy == "space-time"
+    need_A = levy == "foster"
+    W, U, A = _capture(ref_bm, need_U=need_U, need_A=need_A)
+
+    ref_sde = _make_ref_sde(sde_type, noise_type)
+    with torch.no_grad():
+        ys_ref = ref.sdeint(ref_sde, torch.tensor(Y0, dtype=torch.float64),
+                            torch.tensor(TS, dtype=torch.float64), bm=ref_bm,
+                            method=method, dt=DT, options=options)
+    ys_ref = ys_ref.numpy()
+
+    table = TableBrownian(GRID, W, U=U, A=A, levy=levy)
+    ys = tsde.sdeint(_make_our_sde(sde_type, noise_type), jnp.asarray(Y0),
+                     TS, bm=table, method=method, dt=DT, options=options)
+    assert ys.shape == ys_ref.shape
+    err = float(np.max(np.abs(np.asarray(ys) - ys_ref)))
+    assert err < ATOL, (method, sde_type, noise_type, err)
+
+
+def test_logqp_matches_reference():
+    """SDELogqp parity (u = (f-h)/g KL channel + per-interval differencing,
+    reference base_sde.py:240-307 + sdeint.py:284-300): same increments on
+    the augmented (B, D+1) noise, same ys AND same KL increments."""
+    ref_bm = ref.BrownianInterval(t0=T0, t1=T1, size=(B, D + 1),
+                                  dtype=torch.float64, entropy=7)
+    W, _, _ = _capture(ref_bm)
+
+    class RefLogqp(ref.SDEIto):
+        def __init__(self):
+            super().__init__(noise_type="diagonal")
+
+        def f(self, t, y):
+            return torch.tanh(y) @ torch.tensor(A_) + torch.tensor(b_)
+
+        def h(self, t, y):
+            return -0.5 * y
+
+        def g(self, t, y):
+            return 0.5 * torch.sigmoid(y * torch.tensor(c_)) + 0.1
+
+    with torch.no_grad():
+        ys_ref, kl_ref = ref.sdeint(
+            RefLogqp(), torch.tensor(Y0, dtype=torch.float64),
+            torch.tensor(TS, dtype=torch.float64), bm=ref_bm,
+            method="euler", dt=DT, logqp=True)
+
+    class OurLogqp(tsde.SDEIto):
+        def __init__(self):
+            super().__init__(noise_type="diagonal")
+            self.A = jnp.asarray(A_)
+            self.b = jnp.asarray(b_)
+            self.c = jnp.asarray(c_)
+
+        def f(self, t, y):
+            return jnp.tanh(y) @ self.A + self.b
+
+        def h(self, t, y):
+            return -0.5 * y
+
+        def g(self, t, y):
+            import jax
+            return 0.5 * jax.nn.sigmoid(y * self.c) + 0.1
+
+    table = TableBrownian(GRID, W)
+    ys, kl = tsde.sdeint(OurLogqp(), jnp.asarray(Y0), TS, bm=table,
+                         method="euler", dt=DT, logqp=True)
+    assert float(np.max(np.abs(np.asarray(ys) - ys_ref.numpy()))) < ATOL
+    assert float(np.max(np.abs(np.asarray(kl) - kl_ref.numpy()))) < ATOL
