@@ -237,6 +237,100 @@ def test_trajectory_matches_reference(method, sde_type, noise_type, levy,
     assert err < ATOL, (method, sde_type, noise_type, err)
 
 
+GRAD_CASES = [
+    # (method, adjoint_method, sde_type, noise_type)
+    ("euler", "euler", "ito", "diagonal"),
+    ("milstein", "milstein", "ito", "diagonal"),
+    ("midpoint", "midpoint", "stratonovich", "diagonal"),
+    ("heun", "midpoint", "stratonovich", "general"),
+]
+
+
+@pytest.mark.parametrize("method,adjoint_method,sde_type,noise_type",
+                         GRAD_CASES,
+                         ids=[f"{m}-{s}-{n}" for m, _, s, n in GRAD_CASES])
+@pytest.mark.parametrize("use_adjoint", [False, True],
+                         ids=["backprop", "adjoint"])
+def test_gradients_match_reference(method, adjoint_method, sde_type,
+                                   noise_type, use_adjoint):
+    """Parameter gradients through the solve match the reference's, on
+    identical increments: backprop-through-solver differentiates the SAME
+    discrete map on both sides (so must agree to round-off given the
+    trajectory parity above), and the adjoint mode additionally exercises
+    the adjoint-SDE vjp math (reference adjoint_sde.py) against torch
+    autograd through the reference's backward solve."""
+    m = {"diagonal": D, "scalar": 1}.get(noise_type, M)
+    ref_bm = ref.BrownianInterval(
+        t0=T0, t1=T1, size=(B, m), dtype=torch.float64, entropy=13)
+    W, _, _ = _capture(ref_bm)
+
+    # reference side: params as leaf tensors with requires_grad
+    base_cls = ref.SDEIto if sde_type == "ito" else ref.SDEStratonovich
+    At = torch.nn.Parameter(torch.tensor(A_, dtype=torch.float64))
+    ct = torch.nn.Parameter(torch.tensor(c_, dtype=torch.float64))
+    Gt = torch.nn.Parameter(torch.tensor(G_, dtype=torch.float64))
+
+    class RefSDE(base_cls, torch.nn.Module):
+        def __init__(self):
+            super().__init__(noise_type=noise_type)
+            self.A = At
+            self.c = ct
+            self.G = Gt
+
+        def f(self, t, y):
+            return torch.tanh(y) @ self.A
+
+        def g(self, t, y):
+            if noise_type == "diagonal":
+                return 0.5 * torch.sigmoid(y * self.c) + 0.1
+            return torch.tanh(y).unsqueeze(-1) * self.G
+
+    rsde = RefSDE()
+    solver = ref.sdeint_adjoint if use_adjoint else ref.sdeint
+    kw = dict(adjoint_method=adjoint_method) if use_adjoint else {}
+    ys_r = solver(rsde, torch.tensor(Y0, dtype=torch.float64),
+                  torch.tensor(TS, dtype=torch.float64), bm=ref_bm,
+                  method=method, dt=DT, **kw)
+    torch.sum(ys_r ** 2).backward()
+    grads_ref = {"A": At.grad.numpy(),
+                 ("c" if noise_type == "diagonal" else "G"):
+                     (ct if noise_type == "diagonal" else Gt).grad.numpy()}
+
+    # our side: same params as module leaves
+    import jax
+
+    class OurSDE(tsde.BaseSDE):
+        def __init__(self):
+            super().__init__(noise_type=noise_type, sde_type=sde_type)
+            self.A = jnp.asarray(A_)
+            self.c = jnp.asarray(c_)
+            self.G = jnp.asarray(G_)
+
+        def f(self, t, y):
+            return jnp.tanh(y) @ self.A
+
+        def g(self, t, y):
+            if noise_type == "diagonal":
+                return 0.5 * jax.nn.sigmoid(y * self.c) + 0.1
+            return jnp.tanh(y)[..., None] * self.G
+
+    table = TableBrownian(GRID, W)
+    osolve = tsde.sdeint_adjoint if use_adjoint else tsde.sdeint
+    okw = dict(adjoint_method=adjoint_method) if use_adjoint else {}
+
+    def loss(sde):
+        ys = osolve(sde, jnp.asarray(Y0), TS, bm=table, method=method,
+                    dt=DT, **okw)
+        return jnp.sum(ys ** 2)
+
+    g = jax.grad(loss)(OurSDE())
+    for name, ref_g in grads_ref.items():
+        got = np.asarray(getattr(g, name))
+        err = float(np.max(np.abs(got - ref_g)))
+        scale = float(np.max(np.abs(ref_g))) + 1e-12
+        assert err / scale < 1e-8, (name, err, scale)
+
+
 def test_logqp_matches_reference():
     """SDELogqp parity (u = (f-h)/g KL channel + per-interval differencing,
     reference base_sde.py:240-307 + sdeint.py:284-300): same increments on
