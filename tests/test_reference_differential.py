@@ -137,6 +137,14 @@ class TableBrownian(bbase.BaseBrownian):
         return self._levy
 
     def _cell(self, ta, tb):
+        import jax
+        if isinstance(ta, jax.core.Tracer) or isinstance(tb, jax.core.Tracer):
+            # in-scan query (e.g. the reversible-Heun adjoint backward):
+            # uniform cells, so the index is pure arithmetic on ta
+            cw = (self.t1 - self.t0) / (len(self._grid) - 1)
+            return jnp.clip(
+                jnp.round((jnp.asarray(ta) - self.t0) / cw).astype(jnp.int32),
+                0, len(self._grid) - 2)
         i = int(np.argmin(np.abs(self._grid - float(ta))))
         j = int(np.argmin(np.abs(self._grid - float(tb))))
         if j != i + 1:
@@ -243,6 +251,8 @@ GRAD_CASES = [
     ("milstein", "milstein", "ito", "diagonal"),
     ("midpoint", "midpoint", "stratonovich", "diagonal"),
     ("heun", "midpoint", "stratonovich", "general"),
+    ("reversible_heun", "adjoint_reversible_heun", "stratonovich",
+     "general"),
 ]
 
 
