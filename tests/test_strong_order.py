@@ -7,13 +7,17 @@ slopes must bracket the documented strong orders (euler 0.5, milstein 1.0,
 srk 1.5, additive-euler 1.0, Stratonovich midpoint/heun 1.0).
 """
 
+import os
 import sys
 
 import jax.numpy as jnp
 import pytest
 
 import problems
-sys.path.insert(0, "..")
+# Absolute repo root, ahead of any path other test modules may have
+# prepended (test_reference_differential.py puts /root/reference first,
+# whose own diagnostics/ package would otherwise shadow ours).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from diagnostics.harness import inspect_orders  # noqa: E402
 
 BATCH = 1024
