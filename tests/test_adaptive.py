@@ -372,6 +372,28 @@ def test_adjoint_adaptive_beats_coarse_fixed_backward():
     assert err_adapt <= err_fixed * 1.5  # not worse; usually much better
 
 
+def test_adjoint_adaptive_single_output_time():
+    # Degenerate-but-legal T == 1 schedule: the solve is the identity, so the
+    # y0 gradient must be exactly the output cotangent. The merged adaptive
+    # backward used to double it — init injected grad_ys[T-1] and the
+    # epilogue added grad_ys[0], the same index when T == 1 (code-review r2).
+    sde, y0, _, bm = _diag_problem()
+
+    def loss(y):
+        ys = tsde.sdeint_adjoint(sde, y, [0.0], bm=bm, method="milstein",
+                                 dt=0.02, adjoint_adaptive=True)
+        return jnp.sum(ys[0])
+
+    g = jax.grad(loss)(y0)
+    np.testing.assert_allclose(np.asarray(g), np.ones((4, 2)), rtol=0,
+                               atol=1e-12)
+    # ... matching the fixed-step backward's (already correct) handling.
+    g_fx = jax.grad(lambda y: jnp.sum(tsde.sdeint_adjoint(
+        sde, y, [0.0], bm=bm, method="milstein", dt=0.02)[0]))(y0)
+    np.testing.assert_allclose(np.asarray(g_fx), np.ones((4, 2)), rtol=0,
+                               atol=1e-12)
+
+
 def test_adjoint_params_foreign_raises():
     sde, y0, ts, bm = _diag_problem()
     with pytest.raises(ValueError, match="adjoint_params"):

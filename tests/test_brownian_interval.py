@@ -244,6 +244,30 @@ def test_levy_area_query_context_independent(levy_area_approximation):
                                rtol=0, atol=1e-15)
 
 
+def test_host_traced_agreement_x64_off():
+    """Concrete (host-resolved) and traced (on-device) queries of the same
+    interval must return identical noise in BOTH x64 modes. The host descent
+    runs in the *canonical* float dtype: under x64-off that is float32, and a
+    float64 host descent would take different branches than the float32
+    on-device descent — measured on this exact configuration, 39/40 random
+    query times resolved to different leaves, giving the same interval
+    different noise on the two paths (code-review r2). The solver hot path
+    hits exactly this mix: fixed-step forwards resolve host-side via
+    precompute_bm_noise while the merged adaptive adjoint backward queries
+    the same bm with traced while-loop times."""
+    with jax.enable_x64(False):
+        bm = tsde.BrownianInterval(t0=0.1, t1=2.3, size=(4,),
+                                   dtype=jnp.float32, entropy=77, levels=30)
+        query = jax.jit(lambda a, b: bm(a, b))
+        rng = np.random.default_rng(12345)
+        times = np.sort(rng.uniform(0.1, 2.3, size=40).astype(np.float32))
+        for a, b in zip(times[:-1], times[1:]):
+            w_c = bm(float(a), float(b))
+            w_t = query(jnp.asarray(a, jnp.float32),
+                        jnp.asarray(b, jnp.float32))
+            assert bool(jnp.all(w_c == w_t)), (a, b)
+
+
 @pytest.mark.parametrize("random_order", [False, True])
 @pytest.mark.parametrize("levy_area_approximation, return_U, return_A",
                          [("none", False, False), ("space-time", True, False),

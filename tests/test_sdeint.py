@@ -331,6 +331,18 @@ def test_traced_ts_fixed_step():
     # problem, so the traced path NaN-poisons instead (code-review r2).
     out_shifted = jf(jnp.asarray([0.5, 0.75, 1.0, 1.1, 1.2][:5]))
     assert bool(jnp.all(jnp.isnan(out_shifted)))
+    # ... and must not extend past bm.t1 either: the grid ends there, so
+    # later outputs would silently be linear extrapolations of the last grid
+    # cell (the identical eager call extends its grid instead) — poisoned
+    # too (code-review r2, second pass).
+    out_overrun = jf(jnp.asarray([0.0, 0.25, 0.5, 1.0, 1.2]))
+    assert bool(jnp.all(jnp.isnan(out_overrun)))
+    # Poisoning is multiplicative, so gradients are NaN as well, not a
+    # silent zero routed around the where().
+    g_overrun = jax.jit(jax.grad(lambda y, ts_: jnp.sum(tsde.sdeint(
+        sde, y, ts_, bm=bm, method="euler", dt=0.05))))(
+            y0, jnp.asarray([0.0, 0.5, 1.2]))
+    assert bool(jnp.all(jnp.isnan(g_overrun)))
     # Schedules ENDING early are fine (the eager grid is a prefix).
     ts_sub = jnp.asarray([0.0, 0.25, 0.5, 0.6, 0.7])
     ref_sub = tsde.sdeint(sde, y0, np.asarray(ts_sub), bm=bm, method="euler",

@@ -228,34 +228,45 @@ class BrownianInterval(base.BaseBrownian):
 
     def _host_bits(self, times):
         """Resolve concrete times into dyadic branch bits by successive exact
-        float64 midpoint comparisons (the same arithmetic the traced path runs
-        on device, so concrete and traced queries of one time agree bit-for-bit
-        under x64).
+        midpoint comparisons in the *canonical* float dtype — float64 under
+        x64, float32 otherwise. The traced path (:meth:`_prefix`) runs the
+        identical comparisons on device in the same canonical dtype, so
+        concrete and traced queries of one time agree bit-for-bit in BOTH x64
+        modes (with x64 off, a float64 host descent could take a different
+        branch than the float32 on-device descent for times within one float32
+        ulp of a midpoint, giving the same interval different noise on the two
+        paths).
 
         Returns ``(bits, starts, full)``: ``bits`` an ``(n, depth)`` int32
         matrix trimmed to the depth the times actually need, ``starts`` the
-        quantised (floor) times as float64, ``full`` the ``t >= t1`` mask.
+        quantised (floor) times in the canonical dtype, ``full`` the
+        ``t >= t1`` mask.
         """
-        t = np.clip(np.asarray(times, np.float64), self._t0, self._t1)
-        full = t >= self._t1
+        ftype = np.dtype(jax.dtypes.canonicalize_dtype(jnp.float64))
+        ft0 = ftype.type(self._t0)
+        ft1 = ftype.type(self._t1)
+        t = np.clip(np.asarray(times, ftype), ft0, ft1)
+        full = t >= ft1
         # Full points descend trivially (all-left) and are patched with the
         # exact root statistics by the `full` flag — otherwise t1's all-ones
         # bit pattern would force every grid to maximum depth.
-        t = np.where(full, self._t0, t)
+        t = np.where(full, ft0, t)
         n = t.shape[0]
         L = self._levels
         bits = np.zeros((n, L), np.int32)
-        start = np.full(n, self._t0, np.float64)
-        width = self._t1 - self._t0
+        start = np.full(n, ft0, ftype)
+        # Per-level half-widths match the device scan's: computed in float64
+        # then cast (halving is exact, so iterating 0.5*width in ftype gives
+        # the same values — but cast-from-f64 is what _prefix feeds the scan).
+        span = float(self._t1) - float(self._t0)
+        halves = (span * np.exp2(-np.arange(1, L + 1, dtype=np.float64))).astype(ftype)
         for level in range(L):
-            half = 0.5 * width
-            mid = start + half
+            mid = start + halves[level]
             # mid > start guards ulp saturation: once half underflows below
             # ulp(start) the time is fully resolved and all deeper bits are 0.
             b = (t >= mid) & (mid > start)
             bits[:, level] = b
             start = np.where(b, mid, start)
-            width = half
         # Trim to the needed depth: trailing all-zero levels change nothing.
         nz = np.nonzero(bits.any(axis=0))[0]
         depth = int(nz[-1]) + 1 if nz.size else 0

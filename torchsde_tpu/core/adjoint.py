@@ -219,13 +219,17 @@ def _merged_bwd_adaptive(cfg, adj_solver, rev_bm, ys, grad_ys, adj_sde0,
     """
     ts = np.asarray(cfg.ts, np.float64)
     T = len(ts)
+    if T == 1:
+        # Degenerate single-output schedule: the solve is the identity, so the
+        # output cotangent passes straight through to y0 and no parameter
+        # gradient accumulates. (The general path below would double-count:
+        # init injects grad_ys[T-1] and the final line adds grad_ys[0], the
+        # same index when T == 1.)
+        return adj_sde0, grad_ys[0]
     time_dtype = jnp.result_type(ys)
     neg_ts = jnp.asarray(-ts, time_dtype)
     dt0 = jnp.asarray(cfg.dt, time_dtype)
     rtol, atol, dt_min = cfg.adjoint_rtol, cfg.adjoint_atol, cfg.dt_min
-
-    needs_U = adj_solver.needs_U
-    needs_A = adj_solver.needs_A
 
     init = dict(
         seg=jnp.asarray(T - 1, jnp.int32),
@@ -260,31 +264,17 @@ def _merged_bwd_adaptive(cfg, adj_solver, rev_bm, ys, grad_ys, adj_sde0,
         return c
 
     def attempt(c, active):
-        """One adaptive step attempt (1 full + 2 half steps, PI controller) —
-        the same arithmetic as integrate.integrate_adaptive, minus the output
+        """One adaptive step attempt — the shared ``integrate.adaptive_attempt``
+        arithmetic (1 full + 2 half steps, PI controller), minus the output
         interpolation (only segment-end states matter here)."""
         seg_end = neg_ts[jnp.clip(c["seg"] - 1, 0, T - 1)]
         t = c["curr_t"]
         next_t = jnp.where(active, jnp.minimum(t + c["h"], seg_end), t + c["h"])
-        mid_t = 0.5 * (t + next_t)
-        noise_full = integrate.query_bm(rev_bm, t, next_t, needs_U, needs_A)
-        noise_h1 = integrate.query_bm(rev_bm, t, mid_t, needs_U, needs_A)
-        noise_h2 = integrate.query_bm(rev_bm, mid_t, next_t, needs_U, needs_A)
-
         aug = (c["y"], c["adj_y"], c["adj_sde"])
-        aug_full, _ = adj_solver.step(t, next_t, aug, (), noise_full)
-        aug_mid, _ = adj_solver.step(t, mid_t, aug, (), noise_h1)
-        aug_next, _ = adj_solver.step(mid_t, next_t, aug_mid, (), noise_h2)
-
-        error = jax.lax.stop_gradient(
-            integrate._compute_error(aug_full, aug_next, rtol, atol))
-        h_new, prev_ratio, prev_ratio_valid = integrate._update_step_size(
-            error, c["h"], c["prev_ratio"], c["prev_ratio_valid"])
-        hit_min = h_new < dt_min
-        h_new = jnp.maximum(h_new, dt_min)
-        prev_ratio_valid = jnp.logical_and(prev_ratio_valid, ~hit_min)
-        accept = jnp.logical_and(
-            active, jnp.logical_or(error <= 1.0, h_new <= dt_min))
+        (aug_next, _, accept, h_new, prev_ratio,
+         prev_ratio_valid) = integrate.adaptive_attempt(
+            adj_solver, rev_bm, t, next_t, aug, (), c["h"], c["prev_ratio"],
+            c["prev_ratio_valid"], rtol, atol, dt_min, active=active)
 
         c = dict(c)
         c["curr_t"] = jnp.where(accept, next_t, c["curr_t"])

@@ -341,6 +341,48 @@ def _update_step_size(error, prev_h, prev_ratio, prev_ratio_valid):
     return new_h, new_prev_ratio, jnp.full_like(prev_ratio_valid, True)
 
 
+def adaptive_attempt(solver, bm, t, next_t, state, extra, h, prev_ratio,
+                     prev_ratio_valid, rtol, atol, dt_min, active):
+    """One adaptive step attempt: 1 full step vs 2 half steps, RMS error
+    estimate, PI step-size update, accept decision (reference
+    base_solver.py:117-142 + adaptive_stepping.py). Shared by the forward
+    while-loop integrator, the bounded differentiable scan integrator, and the
+    merged adjoint backward so the controller arithmetic cannot drift apart.
+
+    ``active`` masks the accept decision for bounded/masked callers (pass a
+    True scalar from dynamic while-loops). The error estimate is
+    stop-gradiented: step sizes are data, not differentiable quantities — the
+    reference's estimate crosses to the host via ``.item()``
+    (adaptive_stepping.py:69) so torch autograd never differentiates through
+    the controller either.
+
+    Returns ``(y_next, extra_next, accept, h_new, prev_ratio,
+    prev_ratio_valid)`` — the caller applies its own masked carry updates.
+    """
+    needs_U = solver.needs_U
+    needs_A = solver.needs_A
+    mid_t = 0.5 * (t + next_t)
+    noise_full = query_bm(bm, t, next_t, needs_U, needs_A)
+    noise_h1 = query_bm(bm, t, mid_t, needs_U, needs_A)
+    noise_h2 = query_bm(bm, mid_t, next_t, needs_U, needs_A)
+
+    y_full, _ = solver.step(t, next_t, state, extra, noise_full)
+    y_mid, extra_mid = solver.step(t, mid_t, state, extra, noise_h1)
+    y_next, extra_next = solver.step(mid_t, next_t, y_mid, extra_mid, noise_h2)
+
+    error = jax.lax.stop_gradient(_compute_error(y_full, y_next, rtol, atol))
+    h_new, prev_ratio, prev_ratio_valid = _update_step_size(
+        error, h, prev_ratio, prev_ratio_valid)
+    hit_min = h_new < dt_min
+    h_new = jnp.maximum(h_new, dt_min)
+    prev_ratio_valid = jnp.logical_and(prev_ratio_valid, ~hit_min)
+    # Reference accept rule (base_solver.py:139-140): accept when the error
+    # passes OR the *updated* step size has hit the floor.
+    accept = jnp.logical_and(
+        active, jnp.logical_or(error <= 1.0, h_new <= dt_min))
+    return y_next, extra_next, accept, h_new, prev_ratio, prev_ratio_valid
+
+
 def integrate_adaptive(solver, y0, extra0, ts, bm, dt0, rtol, atol, dt_min,
                        time_dtype=None):
     """Adaptive solve with 1-full-step vs 2-half-steps error control.
@@ -366,9 +408,6 @@ def integrate_adaptive(solver, y0, extra0, ts, bm, dt0, rtol, atol, dt_min,
     ts_dev = jnp.asarray(ts_host, time_dtype)
     t_end = jnp.asarray(ts_host[-1], time_dtype)
     T = len(ts_host)
-
-    needs_U = solver.needs_U
-    needs_A = solver.needs_A
 
     buf0 = jax.tree_util.tree_map(
         lambda leaf: jnp.zeros((T,) + leaf.shape, leaf.dtype).at[0].set(leaf), y0)
@@ -410,25 +449,11 @@ def integrate_adaptive(solver, y0, extra0, ts, bm, dt0, rtol, atol, dt_min,
         def do_step(c):
             t = c["curr_t"]
             next_t = jnp.minimum(t + c["h"], t_end)
-            mid_t = 0.5 * (t + next_t)
-            noise_full = query_bm(bm, t, next_t, needs_U, needs_A)
-            noise_h1 = query_bm(bm, t, mid_t, needs_U, needs_A)
-            noise_h2 = query_bm(bm, mid_t, next_t, needs_U, needs_A)
-
-            y_full, _ = solver.step(t, next_t, c["curr_y"], c["extra"], noise_full)
-            y_mid, extra_mid = solver.step(t, mid_t, c["curr_y"], c["extra"], noise_h1)
-            y_next, extra_next = solver.step(mid_t, next_t, y_mid, extra_mid, noise_h2)
-
-            error = _compute_error(y_full, y_next, rtol, atol)
-            h_new, prev_ratio, prev_ratio_valid = _update_step_size(
-                error, c["h"], c["prev_ratio"], c["prev_ratio_valid"])
-            hit_min = h_new < dt_min
-            h_new = jnp.maximum(h_new, dt_min)
-            prev_ratio_valid = jnp.logical_and(prev_ratio_valid, ~hit_min)
-
-            # Reference accept rule (base_solver.py:139-140): accept when the
-            # error passes OR the *updated* step size has hit the floor.
-            accept = jnp.logical_or(error <= 1.0, h_new <= dt_min)
+            (y_next, extra_next, accept, h_new, prev_ratio,
+             prev_ratio_valid) = adaptive_attempt(
+                solver, bm, t, next_t, c["curr_y"], c["extra"], c["h"],
+                c["prev_ratio"], c["prev_ratio_valid"], rtol, atol, dt_min,
+                active=jnp.asarray(True))
 
             def pick(new, old):
                 return jax.tree_util.tree_map(
@@ -483,9 +508,6 @@ def integrate_adaptive_scan(solver, y0, extra0, ts, bm, dt0, rtol, atol, dt_min,
     t_end = jnp.asarray(ts_host[-1], time_dtype)
     T = len(ts_host)
 
-    needs_U = solver.needs_U
-    needs_A = solver.needs_A
-
     def buf_init(leaf):
         buf = jnp.full((T,) + leaf.shape,
                        jnp.nan if jnp.issubdtype(leaf.dtype, jnp.inexact) else 0,
@@ -534,29 +556,11 @@ def integrate_adaptive_scan(solver, y0, extra0, ts, bm, dt0, rtol, atol, dt_min,
         # Clamp to t_end only when actually stepping: masked iterations keep
         # dt = h > 0 so no 1/dt NaNs leak into reverse-mode gradients.
         next_t = jnp.where(step_mode, jnp.minimum(t + c["h"], t_end), t + c["h"])
-        mid_t = 0.5 * (t + next_t)
-        noise_full = query_bm(bm, t, next_t, needs_U, needs_A)
-        noise_h1 = query_bm(bm, t, mid_t, needs_U, needs_A)
-        noise_h2 = query_bm(bm, mid_t, next_t, needs_U, needs_A)
-
-        y_full, _ = solver.step(t, next_t, c["curr_y"], c["extra"], noise_full)
-        y_mid, extra_mid = solver.step(t, mid_t, c["curr_y"], c["extra"], noise_h1)
-        y_next, extra_next = solver.step(mid_t, next_t, y_mid, extra_mid, noise_h2)
-
-        # Step sizes are data, not differentiable quantities: the reference's
-        # error estimate crosses to the host via `.item()`
-        # (adaptive_stepping.py:69), so torch autograd never differentiates
-        # through the controller. Match that — otherwise d(h)/d(y) pathways
-        # (error**-ifactor powers) blow gradients up at tight tolerances.
-        error = jax.lax.stop_gradient(_compute_error(y_full, y_next, rtol, atol))
-        h_new, prev_ratio, prev_ratio_valid = _update_step_size(
-            error, c["h"], c["prev_ratio"], c["prev_ratio_valid"])
-        hit_min = h_new < dt_min
-        h_new = jnp.maximum(h_new, dt_min)
-        prev_ratio_valid = jnp.logical_and(prev_ratio_valid, ~hit_min)
-
-        accept = jnp.logical_and(
-            step_mode, jnp.logical_or(error <= 1.0, h_new <= dt_min))
+        (y_next, extra_next, accept, h_new, prev_ratio,
+         prev_ratio_valid) = adaptive_attempt(
+            solver, bm, t, next_t, c["curr_y"], c["extra"], c["h"],
+            c["prev_ratio"], c["prev_ratio_valid"], rtol, atol, dt_min,
+            active=step_mode)
 
         c_new = dict(c)
         c_new["buf"] = buf

@@ -194,16 +194,27 @@ def _integrate(solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol,
         solver, y0, extra_solver_state, grid, ts, noise_xs=noise_xs,
         time_dtype=time_dtype, unroll=unroll, remat=remat)
     if ts_traced:
-        # The traced-ts grid is anchored at bm.t0, so y0 is the state at
-        # bm.t0 — a traced schedule starting elsewhere would silently solve
-        # a DIFFERENT problem than the identical eager call (which anchors
-        # at ts[0]). The anchor can't be validated at trace time, so poison
-        # the outputs loudly instead of returning a divergent solution.
-        # (Schedules ENDING before bm.t1 are fine: the eager grid is a
-        # prefix of the traced one, and per-interval noise keys coincide.)
-        ok = jnp.asarray(ts, time_dtype)[0] == jnp.asarray(grid[0],
-                                                           time_dtype)
-        ys = jnp.where(ok, ys, jnp.full_like(ys, jnp.nan))
+        # The traced-ts grid is anchored at [bm.t0, bm.t1], so y0 is the
+        # state at bm.t0 and the solve ends at bm.t1 — a traced schedule
+        # starting elsewhere would silently solve a DIFFERENT problem than
+        # the identical eager call (which anchors at ts[0]), and one ending
+        # past bm.t1 would silently return a linear EXTRAPOLATION of the
+        # last grid cell (the eager call extends its grid and clamps noise
+        # queries, with a warning). Neither bound can be validated at trace
+        # time, so poison the outputs loudly instead of returning a
+        # divergent solution. (Schedules ending BEFORE bm.t1 are fine: the
+        # eager grid is a prefix of the traced one, and per-interval noise
+        # keys coincide.) Multiplicative poisoning keeps the values AND
+        # their gradients loud — `where(ok, ys, nan)` would route
+        # cotangents to the NaN constant and silently zero every gradient.
+        ts_dev = jnp.asarray(ts, time_dtype)
+        ok = jnp.logical_and(
+            ts_dev[0] == jnp.asarray(grid[0], time_dtype),
+            ts_dev[-1] <= jnp.asarray(grid[-1], time_dtype))
+        poison = jnp.where(ok, jnp.asarray(1.0, time_dtype),
+                           jnp.asarray(jnp.nan, time_dtype))
+        ys = jax.tree_util.tree_map(
+            lambda l: l * poison.astype(l.dtype), ys)
     return ys, extra_out, stats
 
 
