@@ -402,6 +402,11 @@ def test_adjoint_params_foreign_raises():
     # leaves of the SDE pytree are fine (harmless no-op)
     tsde.sdeint_adjoint(sde, y0, ts, bm=bm, dt=0.05, method="milstein",
                         adjoint_params=(sde.a, sde.b))
+    # rebuilt copies of leaves (device_put / tree_map recreate array objects)
+    # warn instead of crashing: gradients flow to the pytree's own leaves.
+    with pytest.warns(UserWarning, match="rebuilt copies"):
+        tsde.sdeint_adjoint(sde, y0, ts, bm=bm, dt=0.05, method="milstein",
+                            adjoint_params=(jnp.array(sde.a),))
 
 
 @pytest.mark.slow

@@ -1,0 +1,184 @@
+"""In-scan vs precomputed fixed-step noise (the O(1)-noise-memory mode).
+
+Fixed-step solves default to batching all per-step increments into one
+``(n_steps, *size)`` buffer before the scan; above
+``integrate.NOISE_PRECOMPUTE_MAX_BYTES`` (or with ``noise_precompute=False``)
+they generate/query noise per step *inside* the scan instead, so adjoint
+memory stays O(T) in output count for arbitrarily small dt (the reference's
+memory contract, adjoint.py:54-62 saves only ``ys``). Invariants:
+
+* object mode (explicit BrownianInterval): the two modes are BITWISE
+  identical — per-step traced-time queries resolve the same dyadic cells as
+  the host-side bulk ``query_grid``;
+* grid mode (default ``bm=None``): the in-scan stream is keyed per interval
+  index (``fold_in``), so the adjoint's backward replays the forward's
+  increments exactly despite visiting intervals in a different order —
+  checked via adjoint-vs-backprop gradient agreement in the same mode;
+* the auto policy is a pure function of (n_steps, size, dtype, needs) that
+  both adjoint passes compute identically.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchsde_tpu as tsde
+from torchsde_tpu.core import integrate
+
+import problems
+
+b, d, m = 8, 3, 2
+ts = [0.0, 0.2, 0.4]
+dt = 0.025
+DTYPE = jnp.float64
+
+
+def _bm():
+    return tsde.BrownianInterval(0.0, 0.4, (b, d), dtype=DTYPE, entropy=7)
+
+
+def _y0():
+    return jnp.full((b, d), 0.1, DTYPE)
+
+
+def test_policy_unit():
+    # W channel only: n * prod(size) * itemsize.
+    assert integrate.noise_buffer_bytes(100, (8, 4), jnp.float32,
+                                        False, False) == 100 * 32 * 4
+    # U doubles it; A adds an m-times W-sized buffer.
+    assert integrate.noise_buffer_bytes(100, (8, 4), jnp.float32,
+                                        True, False) == 2 * 100 * 32 * 4
+    assert integrate.noise_buffer_bytes(100, (8, 4), jnp.float32,
+                                        True, True) == 6 * 100 * 32 * 4
+    assert integrate.should_precompute_noise(10, (8, 4), jnp.float32,
+                                             False, False)
+    huge = integrate.NOISE_PRECOMPUTE_MAX_BYTES // (32 * 4) + 1
+    assert not integrate.should_precompute_noise(huge, (8, 4), jnp.float32,
+                                                 False, False)
+    # Explicit override beats the size policy in both directions.
+    assert integrate.should_precompute_noise(huge, (8, 4), jnp.float32,
+                                             False, False, override=True)
+    assert not integrate.should_precompute_noise(1, (8, 4), jnp.float32,
+                                                 False, False, override=False)
+
+
+@pytest.mark.parametrize("method", ["euler", "milstein"])
+def test_object_mode_bitwise(method):
+    """Explicit-bm solves: in-scan per-step queries hit the same dyadic cells
+    as the bulk host-side precompute — results must be bitwise identical."""
+    sde = problems.ExDiagonal(d=d, sde_type="ito")
+    bm = _bm()
+    a = tsde.sdeint(sde, _y0(), ts, bm=bm, method=method, dt=dt,
+                    noise_precompute=True)
+    c = tsde.sdeint(sde, _y0(), ts, bm=bm, method=method, dt=dt,
+                    noise_precompute=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_object_mode_srk_ulp_close():
+    """srk consumes the U channel, whose traced-time reconstruction of the
+    interval width differs from the exact host float64 by <= a few ulps (W is
+    bitwise; the leaf *selection* is identical, only the accumulated leaf
+    start differs in final rounding). The two modes therefore agree to
+    float64 roundoff, not bitwise."""
+    sde = problems.ExDiagonal(d=d, sde_type="ito")
+    bm = tsde.BrownianInterval(0.0, 0.4, (b, d), dtype=DTYPE, entropy=7,
+                               levy_area_approximation="space-time")
+    a = tsde.sdeint(sde, _y0(), ts, bm=bm, method="srk", dt=dt,
+                    noise_precompute=True)
+    c = tsde.sdeint(sde, _y0(), ts, bm=bm, method="srk", dt=dt,
+                    noise_precompute=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=0,
+                               atol=1e-13)
+
+
+def test_object_mode_adjoint_ulp_close():
+    """Adjoint gradients agree to float64 roundoff between noise modes in
+    object mode: both passes consume the same BrownianInterval increments
+    (bitwise), but the two backward *programs* differ (gathered-xs vs in-body
+    descent), so XLA's fusion/FMA choices can shift the last bit of the
+    accumulated gradients."""
+    sde = problems.ExDiagonal(d=d, sde_type="ito")
+    bm = _bm()
+
+    def loss(sde_, pre):
+        ys = tsde.sdeint_adjoint(sde_, _y0(), ts, bm=bm, method="milstein",
+                                 dt=dt, noise_precompute=pre)
+        return jnp.sum(ys[-1] ** 2) + jnp.sum(ys[1])
+
+    g_pre = jax.grad(loss)(sde, True)
+    g_scan = jax.grad(loss)(sde, False)
+    for x, y in zip(jax.tree_util.tree_leaves(g_pre),
+                    jax.tree_util.tree_leaves(g_scan)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-13, atol=0)
+
+
+def test_grid_mode_in_scan_deterministic():
+    """Default-noise in-scan solves are a pure function of the key."""
+    sde = problems.ExDiagonal(d=d, sde_type="ito")
+    key = jax.random.PRNGKey(11)
+    a = tsde.sdeint(sde, _y0(), ts, dt=dt, key=key, noise_precompute=False)
+    c = tsde.sdeint(sde, _y0(), ts, dt=dt, key=key, noise_precompute=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    assert bool(jnp.isfinite(a).all())
+
+
+def test_grid_mode_adjoint_matches_backprop_in_scan():
+    """Grid mode, in-scan: sdeint(key=...) and sdeint_adjoint(key=...) share
+    the per-interval fold_in stream, so the adjoint's backward replays the
+    forward's increments; adjoint-vs-backprop agreement at the same tolerance
+    the precomputed-mode test uses (test_adjoint.py: NeuralDiagonal+midpoint
+    1e-3) proves the replay is consistent."""
+    sde = problems.NeuralDiagonal(sde_type="stratonovich", d=d)
+    key = jax.random.PRNGKey(5)
+    y0 = _y0()
+
+    def loss_adj(sde_, y0_):
+        ys = tsde.sdeint_adjoint(sde_, y0_, ts, method="midpoint", dt=dt,
+                                 key=key, noise_precompute=False)
+        return jnp.sum(ys[-1] ** 2) + jnp.sum(ys[1])
+
+    def loss_bp(sde_, y0_):
+        ys = tsde.sdeint(sde_, y0_, ts, method="midpoint", dt=dt,
+                         key=key, noise_precompute=False)
+        return jnp.sum(ys[-1] ** 2) + jnp.sum(ys[1])
+
+    ga = jax.grad(loss_adj, argnums=(0, 1))(sde, y0)
+    gb = jax.grad(loss_bp, argnums=(0, 1))(sde, y0)
+    la = jax.tree_util.tree_leaves(ga)
+    lb = jax.tree_util.tree_leaves(gb)
+    scale = max(float(jnp.max(jnp.abs(x))) for x in lb) + 1e-12
+    err = max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(la, lb))
+    assert err / scale < 1e-3
+
+
+def test_grid_mode_srk_levy_in_scan():
+    """In-scan generation covers the U channel (srk needs space-time Levy
+    area) with the same law; solve runs and is finite."""
+    sde = problems.ExDiagonal(d=d, sde_type="ito")
+    a = tsde.sdeint(sde, _y0(), ts, method="srk", dt=dt,
+                    key=jax.random.PRNGKey(3), noise_precompute=False)
+    assert bool(jnp.isfinite(a).all())
+
+
+def test_auto_policy_flips_to_in_scan(monkeypatch):
+    """With the threshold forced to zero the auto mode must route through the
+    in-scan path; in object mode the result is bitwise the precomputed one."""
+    sde = problems.ExDiagonal(d=d, sde_type="ito")
+    bm = _bm()
+    ref = tsde.sdeint(sde, _y0(), ts, bm=bm, method="milstein", dt=dt,
+                      noise_precompute=True)
+    monkeypatch.setattr(integrate, "NOISE_PRECOMPUTE_MAX_BYTES", 0)
+    auto = tsde.sdeint(sde, _y0(), ts, bm=bm, method="milstein", dt=dt)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(auto))
+
+    def loss(sde_):
+        ys = tsde.sdeint_adjoint(sde_, _y0(), ts, bm=bm, method="milstein",
+                                 dt=dt)
+        return jnp.sum(ys[-1] ** 2)
+
+    g = jax.grad(loss)(sde)
+    assert all(bool(jnp.isfinite(x).all())
+               for x in jax.tree_util.tree_leaves(g))

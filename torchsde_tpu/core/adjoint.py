@@ -20,11 +20,15 @@ output cotangents (adjoint.py:97-119). Here:
   one row, adjoint.py:75-79).
 
 Memory: residuals are the ``(T, batch, d)`` output states only — O(T), not
-O(n_steps) — exactly the reference's memory contract (SURVEY.md §3.2).
+O(n_steps) — exactly the reference's memory contract (SURVEY.md §3.2). Noise
+is batch-precomputed per pass only while the buffers stay under
+``integrate.NOISE_PRECOMPUTE_MAX_BYTES``; past that both passes generate it
+per step inside the scan, keeping the O(T) total for arbitrarily small ``dt``.
 """
 
 import dataclasses
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +61,7 @@ class _Cfg:
     adjoint_atol: float = 1e-4
     unroll: int = 1
     adjoint_max_steps: int = 16384
+    noise_precompute: object = None  # True/False force; None = size policy
 
 
 def _zero_cotangent(tree):
@@ -89,16 +94,47 @@ def _fwd_integrate(cfg, sde, bm, y0, extra0):
             cfg.atol, cfg.dt_min)
         return ys, extra_out
     grid, bidx = integrate.build_interval_grid(cfg.ts, cfg.dt)
-    if cfg.grid_noise:
-        noise_xs = integrate.sample_grid_noise(
-            bm._key, grid, tuple(bm.shape), bm.dtype,
-            needs_U=solver.needs_U, needs_A=solver.needs_A,
-            levy_area_approximation=cfg.levy, rng_impl=cfg.rng_impl)
+    noise_xs = noise_fn = None
+    if _precompute_noise(cfg, bm, len(grid) - 1):
+        if cfg.grid_noise:
+            noise_xs = integrate.sample_grid_noise(
+                bm._key, grid, tuple(bm.shape), bm.dtype,
+                needs_U=solver.needs_U, needs_A=solver.needs_A,
+                levy_area_approximation=cfg.levy, rng_impl=cfg.rng_impl)
+        else:
+            noise_xs = integrate.precompute_bm_noise(bm, grid, solver.needs_U,
+                                                     solver.needs_A)
     else:
-        noise_xs = integrate.precompute_bm_noise(bm, grid, solver.needs_U,
-                                                 solver.needs_A)
+        # O(1)-noise-memory mode for long solves: generate/query per step
+        # inside the scan. The backward pass makes the same (deterministic)
+        # choice and replays the identical increments — grid mode by
+        # per-interval fold_in keys (order-independent), object mode by
+        # querying the same BrownianInterval cells.
+        noise_fn = _make_noise_fn(cfg, bm, solver.needs_U, solver.needs_A)
     return integrate.integrate_to_outputs(solver, y0, extra0, grid, bidx,
-                                          noise_xs=noise_xs, unroll=cfg.unroll)
+                                          noise_xs=noise_xs, noise_fn=noise_fn,
+                                          unroll=cfg.unroll)
+
+
+def _precompute_noise(cfg, bm, n_steps):
+    """Shared fwd/bwd policy. Sized on the W channel only so the decision
+    cannot differ between the forward solver and the adjoint solver (whose
+    U/A needs may differ); the U/A buffers scale the true footprint by a
+    small factor the threshold absorbs."""
+    return integrate.should_precompute_noise(
+        n_steps, tuple(bm.shape), bm.dtype, False, False,
+        override=cfg.noise_precompute)
+
+
+def _make_noise_fn(cfg, bm, needs_U, needs_A):
+    if cfg.grid_noise:
+        # In-scan generation always uses threefry fold_in keys (the pallas
+        # bulk generator only exists for the precomputed path); fwd and bwd
+        # both come through here, so they agree.
+        return integrate.make_iid_noise_fn(
+            bm._key, tuple(bm.shape), bm.dtype, needs_U=needs_U,
+            needs_A=needs_A, levy_area_approximation=cfg.levy)
+    return lambda i, t0, t1: integrate.query_bm(bm, t0, t1, needs_U, needs_A)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -148,27 +184,36 @@ def _adjoint_solve_bwd(cfg, res, ct):
     needs_U = adj_solver.needs_U
     needs_A = adj_solver.needs_A
 
-    if cfg.grid_noise:
-        # Re-derive the forward pass's increments from the same key: W comes
-        # from its own split of the key, so it is bitwise identical regardless
-        # of whether U/A are also generated.
-        W, U, A = integrate.sample_grid_noise(
-            bm._key, grid, tuple(bm.shape), bm.dtype,
-            needs_U=needs_U, needs_A=needs_A, levy_area_approximation=cfg.levy,
-            rng_impl=cfg.rng_impl)
+    noise_fn = None
+    if _precompute_noise(cfg, bm, n_steps):
+        if cfg.grid_noise:
+            # Re-derive the forward pass's increments from the same key: W
+            # comes from its own split of the key, so it is bitwise identical
+            # regardless of whether U/A are also generated.
+            W, U, A = integrate.sample_grid_noise(
+                bm._key, grid, tuple(bm.shape), bm.dtype,
+                needs_U=needs_U, needs_A=needs_A,
+                levy_area_approximation=cfg.levy, rng_impl=cfg.rng_impl)
+        else:
+            # Object mode: the backward grid's (t0, t1) pairs are known
+            # host-side, so batch the interval queries into one pass here too.
+            # Increments are in *forward* orientation — exactly what querying
+            # ReverseBrownian per step returned (rev(−t1, −t0) == bm(t0, t1)).
+            W, U, A = integrate.precompute_bm_noise(bm, grid, needs_U, needs_A)
+        noise_cols = (W[order],) + ((U[order],) if needs_U else ()) \
+            + ((A[order],) if needs_A else ())
+        xs_noise = noise_cols
     else:
-        # Object mode: the backward grid's (t0, t1) pairs are known host-side,
-        # so batch the interval queries into one pass here too. Increments are
-        # in *forward* orientation — exactly what querying ReverseBrownian
-        # per step returned (rev(−t1, −t0) == bm(t0, t1)).
-        W, U, A = integrate.precompute_bm_noise(bm, grid, needs_U, needs_A)
-    noise_cols = (W[order],) + ((U[order],) if needs_U else ()) \
-        + ((A[order],) if needs_A else ())
+        # O(1)-noise-memory replay (same policy decision as the forward pass):
+        # re-derive each forward interval's increments inside the scan, keyed
+        # by the interval's forward index / forward times.
+        noise_fn = _make_noise_fn(cfg, bm, needs_U, needs_A)
+        xs_noise = (jnp.asarray(order, jnp.int32),)
 
     y_like = jax.tree_util.tree_map(lambda l: l[0], ys)
     aug0 = (jnp.zeros_like(y_like), jnp.zeros_like(y_like), _zero_cotangent(sde))
 
-    xs = (bt0, bt1, inj_xs, oi_xs) + noise_cols
+    xs = (bt0, bt1, inj_xs, oi_xs) + xs_noise
 
     def body(aug, x):
         t0b, t1b, inj, oi, *noise_list = x
@@ -176,11 +221,16 @@ def _adjoint_solve_bwd(cfg, res, ct):
         y = jnp.where(inj, ys[oi], y)
         adj_y = jnp.where(inj, adj_y + grad_ys[oi], adj_y)
         aug = (y, adj_y, adj_sde)
-        noise_list = list(noise_list)
-        W_step = noise_list.pop(0)
-        U_step = noise_list.pop(0) if needs_U else None
-        A_step = noise_list.pop(0) if needs_A else None
-        noise = (W_step, U_step, A_step)
+        if noise_fn is not None:
+            # Forward-orientation times: bt0 = −fwd_t1, bt1 = −fwd_t0, and
+            # float negation is exact, so these are bitwise the forward pair.
+            noise = noise_fn(noise_list[0], -t1b, -t0b)
+        else:
+            noise_list = list(noise_list)
+            W_step = noise_list.pop(0)
+            U_step = noise_list.pop(0) if needs_U else None
+            A_step = noise_list.pop(0) if needs_A else None
+            noise = (W_step, U_step, A_step)
         aug1, _ = adj_solver.step(t0b, t1b, aug, (), noise)
         return aug1, None
 
@@ -428,6 +478,7 @@ def sdeint_adjoint(sde,
                    rng_impl="threefry",
                    unroll=1,
                    adjoint_max_steps=None,
+                   noise_precompute=None,
                    **unused_kwargs):
     """Integrate an SDE with O(1)-memory stochastic-adjoint gradients.
 
@@ -440,13 +491,37 @@ def sdeint_adjoint(sde,
     leaf of the SDE pytree (in which case it is a harmless no-op): silently
     accepting foreign arrays would produce *different* gradient coverage than
     the reference.
+
+    ``noise_precompute``: fixed-step noise strategy (see ``sdeint``). The
+    default (``None``) batches per-step increments into one O(n_steps) buffer
+    when small, and switches both the forward and the backward solve to
+    per-step in-scan generation above ``integrate.NOISE_PRECOMPUTE_MAX_BYTES``
+    so total adjoint memory stays O(T) in output count for arbitrarily small
+    ``dt``. Both passes make the same decision and replay bitwise-identical
+    increments in either mode.
     """
     misc.handle_unused_kwargs(unused_kwargs, msg="`sdeint_adjoint`")
     del unused_kwargs
     if adjoint_params is not None:
-        sde_leaf_ids = {id(leaf) for leaf in jax.tree_util.tree_leaves(sde)}
-        foreign = [i for i, p in enumerate(adjoint_params)
-                   if id(p) not in sde_leaf_ids]
+        sde_leaves = jax.tree_util.tree_leaves(sde)
+        sde_leaf_ids = {id(leaf) for leaf in sde_leaves}
+        leaf_sigs = {(np.shape(l), jnp.result_type(l)) for l in sde_leaves}
+        foreign = []
+        copies = []
+        for i, p in enumerate(adjoint_params):
+            if id(p) in sde_leaf_ids:
+                continue
+            # Not the same object — a rebuilt leaf (device_put / tree_map /
+            # jit boundaries recreate array objects) still matches some SDE
+            # leaf structurally; gradients flow to the pytree's own leaves
+            # either way, so that is a warn-not-crash situation. Only an
+            # array matching NO leaf signature (e.g. a closure context, the
+            # one pattern where reference gradient coverage would silently
+            # differ) is a hard error.
+            if (np.shape(p), jnp.result_type(p)) in leaf_sigs:
+                copies.append(i)
+            else:
+                foreign.append(i)
         if foreign:
             raise ValueError(
                 f"`adjoint_params` entries at positions {foreign} are not leaves "
@@ -455,6 +530,14 @@ def sdeint_adjoint(sde,
                 f"(arrays on a torchsde_tpu Module are pytree leaves and receive "
                 f"gradients automatically); `adjoint_params` itself is redundant "
                 f"in this framework.")
+        if copies:
+            warnings.warn(
+                f"`adjoint_params` entries at positions {copies} are not the "
+                f"SDE pytree's own array objects (they match a leaf's "
+                f"shape/dtype, so they are likely rebuilt copies from a "
+                f"device_put/tree_map/jit boundary). Gradients flow to the "
+                f"leaves of the `sde` actually passed in; `adjoint_params` is "
+                f"ignored.")
 
     # Reject traced ts BEFORE check_contract: its traced branch would first
     # demand an explicit bm, sending the user through a misleading two-step
@@ -505,7 +588,8 @@ def sdeint_adjoint(sde,
                adaptive=bool(adaptive), rng_impl=rng_impl,
                adjoint_adaptive=bool(adjoint_adaptive),
                adjoint_rtol=float(adjoint_rtol), adjoint_atol=float(adjoint_atol),
-               unroll=int(unroll), adjoint_max_steps=int(adjoint_max_steps))
+               unroll=int(unroll), adjoint_max_steps=int(adjoint_max_steps),
+               noise_precompute=noise_precompute)
 
     solver = _make_solver(cfg, sde, inner_bm, adjoint=False)
     if inner_bm.levy_area_approximation not in solver.levy_area_approximations:

@@ -28,6 +28,85 @@ import numpy as np
 
 from ..settings import LEVY_AREA_APPROXIMATIONS
 
+# Precomputed per-step noise buffers above this size are generated inside the
+# scan body instead (O(1) noise memory; see `should_precompute_noise`). The
+# adjoint's memory contract is O(T) in output count (reference adjoint.py
+# saves only `ys`), so a (n_steps, batch, m) buffer must not be allowed to
+# grow without bound just because dt is small.
+NOISE_PRECOMPUTE_MAX_BYTES = 1 << 30
+
+
+def noise_buffer_bytes(n_steps, size, dtype, needs_U, needs_A):
+    """Bytes of the (W[, U][, A]) buffers precomputed for a fixed grid."""
+    base = int(n_steps) * int(np.prod(size, dtype=np.int64)) if size else int(n_steps)
+    itemsize = jnp.dtype(dtype).itemsize
+    m = size[-1] if len(size) >= 2 else 1
+    channels = 1 + int(bool(needs_U)) + (m if needs_A else 0)
+    return base * itemsize * channels
+
+
+def should_precompute_noise(n_steps, size, dtype, needs_U, needs_A,
+                            override=None):
+    """Precompute-vs-in-scan policy for fixed-step noise.
+
+    ``override``: True/False forces the mode (``sdeint(...,
+    noise_precompute=)``); None picks precompute unless the buffers would
+    exceed ``NOISE_PRECOMPUTE_MAX_BYTES``. Forward and backward passes of the
+    adjoint call this with identical arguments, so they always agree."""
+    if override is not None:
+        return bool(override)
+    return noise_buffer_bytes(n_steps, size, dtype, needs_U, needs_A) \
+        <= NOISE_PRECOMPUTE_MAX_BYTES
+
+
+def make_iid_noise_fn(key, size, dtype, needs_U=False, needs_A=False,
+                      levy_area_approximation=LEVY_AREA_APPROXIMATIONS.none):
+    """Per-step i.i.d. increment sampler for in-scan noise generation.
+
+    Returns ``noise_fn(i, t0, t1) -> (W, U, A)`` where ``i`` is the step's
+    *grid interval index*. Each channel is keyed by ``fold_in(channel_key,
+    i)``, so the stream is a pure function of (key, index): the adjoint's
+    backward scan replays the forward's increments bitwise even though it
+    visits the intervals in a different order. Same law as
+    :func:`sample_grid_noise` (which the precomputed path uses), but a
+    different deterministic stream — solves switch streams when the
+    precompute policy flips, never within one solve.
+    """
+    key_w, key_h, key_a = jax.random.split(key, 3)
+
+    def noise_fn(i, t0, t1):
+        h = (t1 - t0).astype(dtype)
+        W = jax.random.normal(jax.random.fold_in(key_w, i), size, dtype) \
+            * jnp.sqrt(h)
+        U = H = None
+        if needs_U or needs_A:
+            H = jax.random.normal(jax.random.fold_in(key_h, i), size, dtype) \
+                * jnp.sqrt(h / 12.0)
+            U = h * (0.5 * W + H)
+        A = None
+        if needs_A:
+            if len(size) in (0, 1):
+                A = jnp.zeros(size, dtype)
+            else:
+                m = size[-1]
+                noise = jax.random.normal(jax.random.fold_in(key_a, i),
+                                          (*size, m), dtype)
+                noise = noise - jnp.swapaxes(noise, -1, -2)
+                A = (H[..., :, None] * W[..., None, :] -
+                     W[..., :, None] * H[..., None, :])
+                if levy_area_approximation == LEVY_AREA_APPROXIMATIONS.foster:
+                    tenth_h = 0.1 * h
+                    H_sq = jnp.square(H)
+                    std = jnp.sqrt(tenth_h *
+                                   (tenth_h + H_sq[..., :, None] +
+                                    H_sq[..., None, :]))
+                else:
+                    std = jnp.sqrt(h * h / 12.0)
+                A = A + std * noise
+        return W, U if needs_U else None, A
+
+    return noise_fn
+
 
 def build_step_grid(t0, t1, dt):
     """Host-side step grid in float64: t0, t0+dt, ..., capped at t1
@@ -124,20 +203,12 @@ def precompute_bm_noise(bm, grid, needs_U, needs_A):
     """
     if hasattr(bm, "query_grid"):
         return bm.query_grid(grid, return_U=needs_U, return_A=needs_A)
-    t0s = jnp.asarray(np.asarray(grid[:-1], np.float64))
-    t1s = jnp.asarray(np.asarray(grid[1:], np.float64))
-
-    def one(a, b):
-        W, U, A = query_bm(bm, a, b, needs_U, needs_A)
-        out = {"W": W}
-        if needs_U:
-            out["U"] = U
-        if needs_A:
-            out["A"] = A
-        return out
-
-    out = jax.vmap(one)(t0s, t1s)
-    return out["W"], out.get("U"), out.get("A")
+    # Duck-typed bm without the bulk API (every library sampler inherits it
+    # from BaseBrownian): run the base class's generic vmapped implementation
+    # unbound rather than keeping a second copy of it here.
+    from ..brownian.base import BaseBrownian
+    return BaseBrownian.query_grid(bm, grid, return_U=needs_U,
+                                   return_A=needs_A)
 
 
 def linear_interp_on_grid(out_ts, grid, ys_grid):
@@ -157,12 +228,13 @@ def linear_interp_on_grid(out_ts, grid, ys_grid):
 
 
 def integrate_fixed(solver, y0, extra0, grid, ts, bm=None, noise_xs=None,
-                    time_dtype=None, unroll=1, remat=False):
+                    noise_fn=None, time_dtype=None, unroll=1, remat=False):
     """Fixed-step solve over ``grid``, interpolated onto ``ts``.
 
-    Exactly one of ``bm`` (queried per step inside the scan) or ``noise_xs``
-    (a precomputed ``(W, U, A)`` triple with leading dim ``len(grid)-1``) must
-    drive the noise.
+    Exactly one of ``bm`` (queried per step inside the scan), ``noise_fn``
+    (``noise_fn(i, t0, t1)`` called per step inside the scan — O(1) noise
+    memory), or ``noise_xs`` (a precomputed ``(W, U, A)`` triple with leading
+    dim ``len(grid)-1``) must drive the noise.
 
     ``remat=True`` wraps the scan body in :func:`jax.checkpoint`: reverse-mode
     differentiation then stores only the per-step carry ``(y, extra)`` and
@@ -195,6 +267,15 @@ def integrate_fixed(solver, y0, extra0, grid, ts, bm=None, noise_xs=None,
             U_step = rest.pop(0) if needs_U else None
             A_step = rest.pop(0) if needs_A else None
             y1, extra1 = solver.step(t0, t1, y, extra, (W_step, U_step, A_step))
+            return (y1, extra1), y1
+    elif noise_fn is not None:
+        xs = (t0s, t1s, jnp.arange(len(grid) - 1, dtype=jnp.int32))
+
+        def body(carry, x):
+            y, extra = carry
+            t0, t1, i = x
+            noise = noise_fn(i, t0, t1)
+            y1, extra1 = solver.step(t0, t1, y, extra, noise)
             return (y1, extra1), y1
     else:
         xs = (t0s, t1s)
@@ -242,10 +323,13 @@ def build_interval_grid(ts, dt):
 
 
 def integrate_to_outputs(solver, y0, extra0, grid, boundary_idx, bm=None,
-                         noise_xs=None, time_dtype=None, unroll=1):
+                         noise_xs=None, noise_fn=None, time_dtype=None,
+                         unroll=1):
     """Fixed-step solve over ``grid`` where every output time is a grid point;
     states are scattered into a (T, ...) buffer inside the scan, so memory is
-    O(T), not O(n_steps). Returns (ys, extra_final)."""
+    O(T), not O(n_steps). Noise comes from one of ``noise_xs`` (precomputed),
+    ``noise_fn`` (per-step in-scan, O(1) noise memory), or ``bm`` (per-step
+    in-scan query). Returns (ys, extra_final)."""
     if time_dtype is None:
         time_dtype = jnp.result_type(*jax.tree_util.tree_leaves(y0))
     grid_dev = jnp.asarray(grid, time_dtype)
@@ -279,6 +363,16 @@ def integrate_to_outputs(solver, y0, extra0, grid, boundary_idx, bm=None,
             U_step = rest.pop(0) if needs_U else None
             A_step = rest.pop(0) if needs_A else None
             y1, extra1 = solver.step(t0, t1, y, extra, (W_step, U_step, A_step))
+            buf = jax.tree_util.tree_map(lambda b, v: b.at[slot].set(v), buf, y1)
+            return (y1, extra1, buf), None
+    elif noise_fn is not None:
+        xs = (t0s, t1s, out_slot, jnp.arange(n_steps, dtype=jnp.int32))
+
+        def body(carry, x):
+            y, extra, buf = carry
+            t0, t1, slot, i = x
+            noise = noise_fn(i, t0, t1)
+            y1, extra1 = solver.step(t0, t1, y, extra, noise)
             buf = jax.tree_util.tree_map(lambda b, v: b.at[slot].set(v), buf, y1)
             return (y1, extra1, buf), None
     else:

@@ -49,6 +49,7 @@ def sdeint(sde,
            return_stats=False,
            unroll=1,
            remat=False,
+           noise_precompute=None,
            **unused_kwargs):
     """Numerically integrate an SDE. See reference sdeint.py:27-89 for the
     contract; this implementation is jit-compatible end to end.
@@ -80,6 +81,16 @@ def sdeint(sde,
       when exact backprop-through-discretisation gradients are wanted.
       Ignored by adaptive solves (their differentiated form has its own
       bounded-scan structure).
+    * ``noise_precompute``: fixed-step noise strategy. ``True`` batches all
+      per-step increments into one buffer before the scan (fastest; O(n_steps)
+      noise memory), ``False`` generates/queries them per step inside the scan
+      (O(1) noise memory), ``None`` (default) precomputes unless the buffers
+      would exceed ``integrate.NOISE_PRECOMPUTE_MAX_BYTES`` (1 GiB). With the
+      default (``bm=None``) noise the two modes draw *different deterministic
+      streams* (batched vs per-step fold_in keys); with an explicit
+      BrownianInterval they are bitwise identical in W (the U channel's
+      traced-time width reconstruction can differ from the host's exact
+      float64 by a few ulps). Ignored by adaptive solves (always per-step).
     """
     misc.handle_unused_kwargs(unused_kwargs, msg="`sdeint`")
     del unused_kwargs
@@ -99,7 +110,8 @@ def sdeint(sde,
 
     ys, extra_solver_state, stats = _integrate(
         solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol, dt_min,
-        extra_solver_state, rng_impl, max_steps, unroll, remat)
+        extra_solver_state, rng_impl, max_steps, unroll, remat,
+        noise_precompute)
     return parse_return(y0, ys, extra_solver_state, extra, logqp,
                         stats=stats, return_stats=return_stats)
 
@@ -148,7 +160,7 @@ def warn_if_coarser_than_dt_min(bm_obj, dt_min):
 
 def _integrate(solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol,
                dt_min, extra_solver_state, rng_impl="threefry", max_steps=None,
-               unroll=1, remat=False):
+               unroll=1, remat=False, noise_precompute=None):
     time_dtype = _time_dtype(y0)
     ts_traced = isinstance(ts, jax.core.Tracer)
     if adaptive:
@@ -174,24 +186,44 @@ def _integrate(solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol,
         grid = integrate.build_step_grid(bm.t0, bm.t1, dt)
     else:
         grid = integrate.build_step_grid(ts[0], ts[-1], dt)
-    if isinstance(bm, _BMWrapper):
-        inner = bm.bm
-        noise_xs = integrate.sample_grid_noise(
-            inner._key, grid, tuple(inner.shape), inner.dtype,
-            needs_U=solver.needs_U, needs_A=solver.needs_A,
-            levy_area_approximation=inner.levy_area_approximation,
-            rng_impl=rng_impl)
-    else:
-        # Fixed grid, explicit Brownian object: batch every interval query
-        # into one pass before the scan (VERDICT r1 item 5) instead of running
-        # the dyadic descent inside the scan body.
-        noise_xs = integrate.precompute_bm_noise(
-            bm, grid, solver.needs_U, solver.needs_A)
     n_steps = len(grid) - 1
+    inner = bm.bm if isinstance(bm, _BMWrapper) else bm
+    precompute = integrate.should_precompute_noise(
+        n_steps, tuple(inner.shape), inner.dtype, solver.needs_U,
+        solver.needs_A, override=noise_precompute)
+    noise_xs = noise_fn = None
+    if precompute:
+        if isinstance(bm, _BMWrapper):
+            noise_xs = integrate.sample_grid_noise(
+                inner._key, grid, tuple(inner.shape), inner.dtype,
+                needs_U=solver.needs_U, needs_A=solver.needs_A,
+                levy_area_approximation=inner.levy_area_approximation,
+                rng_impl=rng_impl)
+        else:
+            # Fixed grid, explicit Brownian object: batch every interval
+            # query into one pass before the scan (VERDICT r1 item 5) instead
+            # of running the dyadic descent inside the scan body.
+            noise_xs = integrate.precompute_bm_noise(
+                bm, grid, solver.needs_U, solver.needs_A)
+    elif isinstance(bm, _BMWrapper):
+        # O(1)-noise-memory mode: per-step fold_in-keyed iid generation inside
+        # the scan (same law as sample_grid_noise, different stream; always
+        # threefry — the pallas bulk generator is precompute-only).
+        if rng_impl == "pallas":
+            warnings.warn("rng_impl='pallas' only applies to precomputed "
+                          "noise; this solve generates per-step threefry "
+                          "noise inside the scan (noise buffers exceed the "
+                          "precompute threshold).")
+        noise_fn = integrate.make_iid_noise_fn(
+            inner._key, tuple(inner.shape), inner.dtype,
+            needs_U=solver.needs_U, needs_A=solver.needs_A,
+            levy_area_approximation=inner.levy_area_approximation)
     stats = dict(n_accepted=n_steps, n_rejected=0,
                  nfe=n_steps * solver.nfe_per_step, incomplete=False)
     ys, extra_out = integrate.integrate_fixed(
-        solver, y0, extra_solver_state, grid, ts, noise_xs=noise_xs,
+        solver, y0, extra_solver_state, grid, ts,
+        bm=None if (noise_xs is not None or noise_fn is not None) else bm,
+        noise_xs=noise_xs, noise_fn=noise_fn,
         time_dtype=time_dtype, unroll=unroll, remat=remat)
     if ts_traced:
         # The traced-ts grid is anchored at [bm.t0, bm.t1], so y0 is the

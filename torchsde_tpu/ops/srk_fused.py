@@ -89,7 +89,11 @@ def _kernel(y0_ref, W_ref, U_ref, *rest, f, g, t0, dt, dtype, n_params):
         out_ref[:] = y0_ref[:]
 
     y = out_ref[:]
-    t = t0 + n.astype(dtype) * dt
+    # Reconstruct t at >= f32 index precision, then round once to the state
+    # dtype: n.astype(bfloat16) would corrupt the step index itself past
+    # n=256 (8 mantissa bits), biasing every stage time by up to a full dt.
+    tdtype = jnp.promote_types(dtype, jnp.float32)
+    t = (t0 + n.astype(tdtype) * dt).astype(dtype)
     out_ref[:] = _srid2_step(fp, gp, t, dt, y, W_ref[0], U_ref[0], dtype)
 
 
@@ -182,7 +186,10 @@ def srk_solve_xla(f, g, y0, t0, dt, n_steps, W, U, params=()):
 
     def body(y, x):
         n, Wk, Uk = x
-        t = t0 + n.astype(dtype) * dt
+        # Same index-precision guard as the fused kernel: bf16 cannot
+        # represent step indices past 256.
+        tdtype = jnp.promote_types(dtype, jnp.float32)
+        t = (t0 + n.astype(tdtype) * dt).astype(dtype)
         y1 = _srid2_step(fp, gp, t, float(dt), y, Wk, Uk, dtype)
         return y1, None
 

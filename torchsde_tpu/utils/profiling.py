@@ -40,10 +40,12 @@ def annotate(name):
 
 
 class WallTimer:
-    """Tiny wall-clock timer for benchmark scripts. Forces a device fetch of
-    ``result`` (if given) before reading the clock, because the tunneled TPU
-    backend executes asynchronously and ``block_until_ready`` alone does not
-    guarantee completion."""
+    """Tiny wall-clock timer for benchmark scripts. Measures *host* wall time
+    only: the tunneled TPU backend executes asynchronously (and
+    ``block_until_ready`` alone does not guarantee completion), so the clock
+    stops at dispatch unless the caller forces a device fetch — call
+    ``WallTimer.fetch(result)`` inside the timed block to time real
+    execution."""
 
     def __enter__(self):
         self.t0 = time.perf_counter()
