@@ -163,6 +163,56 @@ def test_grid_mode_srk_levy_in_scan():
     assert bool(jnp.isfinite(a).all())
 
 
+def test_sparse_outputs_match_dense(monkeypatch):
+    """Above DENSE_OUTPUT_MAX_BYTES, sdeint keeps only the <= 2T bracketing
+    grid states instead of the full trajectory stack; values and gradients
+    must match the dense path to float64 roundoff (identical states and
+    interpolation arithmetic, different program structure). The schedule
+    mixes endpoints, grid-aligned, off-grid, and same-cell output times."""
+    sde = problems.ExDiagonal(d=d, sde_type="ito")
+    bm = _bm()
+    sched = [0.0, 0.011, 0.013, 0.2, 0.317, 0.4]
+
+    def run(y0_):
+        return tsde.sdeint(sde, y0_, sched, bm=bm, method="milstein", dt=dt)
+
+    def loss(sde_):
+        ys = tsde.sdeint(sde_, _y0(), sched, bm=bm, method="milstein", dt=dt)
+        return jnp.sum(ys ** 2)
+
+    dense = run(_y0())
+    g_dense = jax.grad(loss)(sde)
+    monkeypatch.setattr(integrate, "DENSE_OUTPUT_MAX_BYTES", 0)
+    sparse = run(_y0())
+    g_sparse = jax.grad(loss)(sde)
+    np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense),
+                               rtol=1e-13, atol=0)
+    for x, y in zip(jax.tree_util.tree_leaves(g_sparse),
+                    jax.tree_util.tree_leaves(g_dense)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-13, atol=0)
+
+
+def test_sparse_outputs_srk_logqp_remat(monkeypatch):
+    """Sparse outputs compose with the U noise column (srk), the logqp state
+    augmentation, remat, and the in-scan noise mode."""
+    sde = problems.ExDiagonal(d=d, sde_type="ito")
+    key = jax.random.PRNGKey(9)
+    dense, logqp_d = tsde.sdeint(sde, _y0(), ts, method="srk", dt=dt, key=key,
+                                 logqp=True)
+    monkeypatch.setattr(integrate, "DENSE_OUTPUT_MAX_BYTES", 0)
+    sparse, logqp_s = tsde.sdeint(sde, _y0(), ts, method="srk", dt=dt,
+                                  key=key, logqp=True)
+    np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense),
+                               rtol=1e-13, atol=0)
+    np.testing.assert_allclose(np.asarray(logqp_s), np.asarray(logqp_d),
+                               rtol=1e-12, atol=1e-15)
+    monkeypatch.setattr(integrate, "NOISE_PRECOMPUTE_MAX_BYTES", 0)
+    both = tsde.sdeint(sde, _y0(), ts, method="milstein", dt=dt, key=key,
+                       remat=True)
+    assert bool(jnp.isfinite(both).all())
+
+
 def test_auto_policy_flips_to_in_scan(monkeypatch):
     """With the threshold forced to zero the auto mode must route through the
     in-scan path; in object mode the result is bitwise the precomputed one."""

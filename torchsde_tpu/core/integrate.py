@@ -5,7 +5,11 @@ This replaces the reference's per-step Python ``while`` loop
 
 * fixed-step: a single ``lax.scan`` over a host-precomputed step grid, with the
   outputs linearly interpolated onto the requested ``ts`` exactly as the
-  reference does (base_solver.py:147, interp.py:15-18) — but vectorised;
+  reference does (base_solver.py:147, interp.py:15-18) — but vectorised; long
+  solves keep only the grid states bracketing an output time
+  (``integrate_fixed_sparse``) and generate noise inside the scan
+  (``make_iid_noise_fn`` / per-step queries), so memory is O(T) in output
+  count, not O(n_steps);
 * adaptive: a ``lax.while_loop`` whose error estimate and PI step-size
   controller (reference adaptive_stepping.py:21-69) run entirely on device —
   the reference's ``.cpu().item()`` host sync per step does not exist here.
@@ -298,6 +302,119 @@ def integrate_fixed(solver, y0, extra0, grid, ts, bm=None, noise_xs=None,
     else:
         ts_dev = jnp.asarray(np.asarray(ts, np.float64), time_dtype)
     ys = linear_interp_on_grid(ts_dev, grid_dev, ys_grid)
+    return ys, extra_final
+
+
+# Dense (T, n_grid, ...) state stacks above this size switch integrate_fixed
+# to the sparse-output path: only the <= 2T grid states bracketing the output
+# times are kept, so forward solves are O(T) in output count for arbitrarily
+# small dt (matching the reference, whose integrate loop stores accepted
+# states transiently and appends outputs only, base_solver.py:114-147).
+DENSE_OUTPUT_MAX_BYTES = 1 << 30
+
+
+def state_buffer_bytes(n_grid, y0):
+    """Bytes of the stacked (n_grid, *state) trajectory integrate_fixed keeps
+    for interpolation."""
+    return int(n_grid) * sum(
+        int(np.prod(np.shape(l), dtype=np.int64)) * jnp.dtype(l.dtype).itemsize
+        for l in jax.tree_util.tree_leaves(y0))
+
+
+def integrate_fixed_sparse(solver, y0, extra0, grid, ts, bm=None,
+                           noise_xs=None, noise_fn=None, time_dtype=None,
+                           unroll=1, remat=False):
+    """O(T)-memory variant of :func:`integrate_fixed` for concrete ``ts``.
+
+    Instead of stacking every grid state and interpolating, the scan scatters
+    each state into a buffer of the (host-precomputed, ``<= 2T``) unique grid
+    indices that bracket some output time; interpolation then gathers from
+    that buffer with arithmetic identical to :func:`linear_interp_on_grid`.
+    Noise/remat/unroll semantics match :func:`integrate_fixed`.
+    """
+    if time_dtype is None:
+        time_dtype = jnp.result_type(*jax.tree_util.tree_leaves(y0))
+    grid_dev = jnp.asarray(grid, time_dtype)
+    t0s = grid_dev[:-1]
+    t1s = grid_dev[1:]
+    n_steps = len(grid) - 1
+
+    ts_host = np.asarray(ts, np.float64)
+    idx = np.clip(np.searchsorted(grid, ts_host, side="left"), 1, n_steps)
+    lo, hi = idx - 1, idx
+    needed = np.unique(np.concatenate([lo, hi]))
+    P = len(needed)
+    # grid index -> buffer position; P is the OOB sentinel (scatter drops it,
+    # same pattern as integrate_to_outputs's out_slot).
+    pos = np.full(n_steps + 1, P, np.int32)
+    pos[needed] = np.arange(P, dtype=np.int32)
+
+    needs_U = solver.needs_U
+    needs_A = solver.needs_A
+
+    buf0 = jax.tree_util.tree_map(
+        lambda leaf: jnp.zeros((P,) + leaf.shape, leaf.dtype)
+        .at[pos[0]].set(leaf), y0)
+    slot_xs = jnp.asarray(pos[1:])
+
+    if noise_xs is not None:
+        W, U, A = noise_xs
+        xs = (t0s, t1s, slot_xs, W) + ((U,) if needs_U else ()) \
+            + ((A,) if needs_A else ())
+
+        def body(carry, x):
+            y, extra, buf = carry
+            t0, t1, slot, W_step, *rest = x
+            rest = list(rest)
+            U_step = rest.pop(0) if needs_U else None
+            A_step = rest.pop(0) if needs_A else None
+            y1, extra1 = solver.step(t0, t1, y, extra,
+                                     (W_step, U_step, A_step))
+            buf = jax.tree_util.tree_map(lambda b, v: b.at[slot].set(v),
+                                         buf, y1)
+            return (y1, extra1, buf), None
+    elif noise_fn is not None:
+        xs = (t0s, t1s, slot_xs, jnp.arange(n_steps, dtype=jnp.int32))
+
+        def body(carry, x):
+            y, extra, buf = carry
+            t0, t1, slot, i = x
+            noise = noise_fn(i, t0, t1)
+            y1, extra1 = solver.step(t0, t1, y, extra, noise)
+            buf = jax.tree_util.tree_map(lambda b, v: b.at[slot].set(v),
+                                         buf, y1)
+            return (y1, extra1, buf), None
+    else:
+        xs = (t0s, t1s, slot_xs)
+
+        def body(carry, x):
+            y, extra, buf = carry
+            t0, t1, slot = x
+            noise = query_bm(bm, t0, t1, needs_U, needs_A)
+            y1, extra1 = solver.step(t0, t1, y, extra, noise)
+            buf = jax.tree_util.tree_map(lambda b, v: b.at[slot].set(v),
+                                         buf, y1)
+            return (y1, extra1, buf), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    (_, extra_final, buf), _ = jax.lax.scan(body, (y0, extra0, buf0), xs,
+                                            unroll=unroll)
+
+    # Interpolate with EXACTLY linear_interp_on_grid's arithmetic (grid
+    # values, weight formula, blend), reading states through the buffer map.
+    pos_lo = jnp.asarray(pos[lo])
+    pos_hi = jnp.asarray(pos[hi])
+    t_lo = grid_dev[jnp.asarray(lo)]
+    t_hi = grid_dev[jnp.asarray(hi)]
+    ts_dev = jnp.asarray(ts_host, time_dtype)
+    w = (ts_dev - t_lo) / (t_hi - t_lo)
+
+    def leaf_interp(b):
+        w_b = w.reshape(w.shape + (1,) * (b.ndim - 1)).astype(b.dtype)
+        return b[pos_lo] * (1 - w_b) + b[pos_hi] * w_b
+
+    ys = jax.tree_util.tree_map(leaf_interp, buf)
     return ys, extra_final
 
 

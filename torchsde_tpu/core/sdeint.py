@@ -220,7 +220,15 @@ def _integrate(solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol,
             levy_area_approximation=inner.levy_area_approximation)
     stats = dict(n_accepted=n_steps, n_rejected=0,
                  nfe=n_steps * solver.nfe_per_step, incomplete=False)
-    ys, extra_out = integrate.integrate_fixed(
+    # Long solves also stop stacking the full (n_grid, *state) trajectory:
+    # keep only the <= 2T grid states that bracket an output time (concrete
+    # ts only — a traced schedule can bracket anywhere).
+    sparse_outputs = (not ts_traced) and (
+        integrate.state_buffer_bytes(len(grid), y0)
+        > integrate.DENSE_OUTPUT_MAX_BYTES)
+    fixed = (integrate.integrate_fixed_sparse if sparse_outputs
+             else integrate.integrate_fixed)
+    ys, extra_out = fixed(
         solver, y0, extra_solver_state, grid, ts,
         bm=None if (noise_xs is not None or noise_fn is not None) else bm,
         noise_xs=noise_xs, noise_fn=noise_fn,
