@@ -232,3 +232,60 @@ def test_auto_policy_flips_to_in_scan(monkeypatch):
     g = jax.grad(loss)(sde)
     assert all(bool(jnp.isfinite(x).all())
                for x in jax.tree_util.tree_leaves(g))
+
+
+def test_adjoint_policy_counts_levy_buffers(monkeypatch):
+    """The adjoint's shared fwd/bwd precompute policy must size U/A buffers,
+    not just W: an A buffer is m times the W buffer for general noise, so a
+    solve whose W channel squeaks under the threshold must still flip to
+    in-scan when its solver needs Levy area (advisor round-2 finding)."""
+    from torchsde_tpu.core import adjoint as adjoint_mod
+    from torchsde_tpu.core import solvers
+
+    assert solvers.method_noise_needs("euler") == (False, False)
+    assert solvers.method_noise_needs("srk") == (True, False)
+    assert solvers.method_noise_needs("log_ode") == (False, True)
+    assert solvers.method_noise_needs("milstein") == (False, False)
+
+    def cfg(method, adjoint_method):
+        return adjoint_mod._Cfg(
+            ts=(0.0, 1.0), dt=0.5, method=method,
+            adjoint_method=adjoint_method, grid_noise=True, levy="space-time",
+            options=(), adjoint_options=(), rtol=1e-5, atol=1e-4, dt_min=1e-5)
+
+    bm = _bm()
+    n_steps = 100
+    w_bytes = integrate.noise_buffer_bytes(n_steps, tuple(bm.shape), bm.dtype,
+                                           False, False)
+    # Threshold admits the W buffer alone but not W + U (and a fortiori not
+    # W + m*A): euler precomputes, srk/log_ode must not — and the decision is
+    # the union over fwd and adjoint methods, so it is pass-independent.
+    monkeypatch.setattr(integrate, "NOISE_PRECOMPUTE_MAX_BYTES", w_bytes)
+    assert adjoint_mod._precompute_noise(cfg("euler", "euler"), bm, n_steps)
+    assert not adjoint_mod._precompute_noise(cfg("srk", "euler"), bm, n_steps)
+    assert not adjoint_mod._precompute_noise(cfg("euler", "srk"), bm, n_steps)
+    assert not adjoint_mod._precompute_noise(
+        cfg("log_ode", "euler"), bm, n_steps)
+
+
+def test_pallas_rng_downgrade_warns(monkeypatch):
+    """Both entry points must warn when rng_impl='pallas' is silently replaced
+    by in-scan threefry generation (the pallas bulk generator only exists for
+    the precomputed path)."""
+    import warnings as warnings_mod
+
+    sde = problems.ExDiagonal(d=d, sde_type="ito")
+    monkeypatch.setattr(integrate, "NOISE_PRECOMPUTE_MAX_BYTES", 0)
+    key = jax.random.PRNGKey(3)
+    with pytest.warns(UserWarning, match="pallas"):
+        tsde.sdeint(sde, _y0(), ts, dt=dt, key=key, rng_impl="pallas")
+
+    def loss(sde_):
+        ys = tsde.sdeint_adjoint(sde_, _y0(), ts, dt=dt, key=key,
+                                 rng_impl="pallas")
+        return jnp.sum(ys[-1] ** 2)
+
+    with warnings_mod.catch_warnings():
+        warnings_mod.simplefilter("error", UserWarning)
+        with pytest.raises(UserWarning, match="pallas"):
+            jax.grad(loss)(sde)

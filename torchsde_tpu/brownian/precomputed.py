@@ -98,8 +98,10 @@ class PrecomputedBrownian(base.BaseBrownian):
 
     def _index(self, t):
         """Cell-edge index; float64 arithmetic (host-side when ``t`` is
-        concrete) so fine grids don't misquantise — see
-        BrownianInterval._time_to_index."""
+        concrete) so fine grids don't misquantise: rounding the fractional
+        position in float32 can land a cell off once ``n`` approaches the
+        float32 mantissa resolution of the span (the same reason
+        BrownianInterval resolves query times via float64 ``_host_bits``)."""
         if isinstance(t, (int, float, np.ndarray, np.generic)) or (
                 isinstance(t, jax.Array) and not isinstance(t, jax.core.Tracer)):
             k = int(round((float(t) - self._t0) / (self._t1 - self._t0) * self._n))

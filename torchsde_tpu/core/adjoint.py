@@ -117,12 +117,14 @@ def _fwd_integrate(cfg, sde, bm, y0, extra0):
 
 
 def _precompute_noise(cfg, bm, n_steps):
-    """Shared fwd/bwd policy. Sized on the W channel only so the decision
-    cannot differ between the forward solver and the adjoint solver (whose
-    U/A needs may differ); the U/A buffers scale the true footprint by a
-    small factor the threshold absorbs."""
+    """Shared fwd/bwd policy. Sized on the UNION of the forward and adjoint
+    solvers' U/A needs — both derivable from cfg alone, so the decision is
+    identical in the two passes even though their per-solver needs may differ
+    (an A buffer is m times the W buffer for general noise and must count)."""
+    fwd_U, fwd_A = solvers.method_noise_needs(cfg.method)
+    adj_U, adj_A = solvers.method_noise_needs(cfg.adjoint_method)
     return integrate.should_precompute_noise(
-        n_steps, tuple(bm.shape), bm.dtype, False, False,
+        n_steps, tuple(bm.shape), bm.dtype, fwd_U or adj_U, fwd_A or adj_A,
         override=cfg.noise_precompute)
 
 
@@ -130,7 +132,13 @@ def _make_noise_fn(cfg, bm, needs_U, needs_A):
     if cfg.grid_noise:
         # In-scan generation always uses threefry fold_in keys (the pallas
         # bulk generator only exists for the precomputed path); fwd and bwd
-        # both come through here, so they agree.
+        # both come through here, so they agree. Warn like sdeint does when
+        # this silently overrides a requested hardware PRNG.
+        if cfg.rng_impl == "pallas":
+            warnings.warn("rng_impl='pallas' only applies to precomputed "
+                          "noise; this solve generates per-step threefry "
+                          "noise inside the scan (noise buffers exceed the "
+                          "precompute threshold).")
         return integrate.make_iid_noise_fn(
             bm._key, tuple(bm.shape), bm.dtype, needs_U=needs_U,
             needs_A=needs_A, levy_area_approximation=cfg.levy)

@@ -231,6 +231,54 @@ def linear_interp_on_grid(out_ts, grid, ys_grid):
     return jax.tree_util.tree_map(leaf_interp, ys_grid)
 
 
+def _noise_stream(solver, n_steps, bm, noise_xs, noise_fn):
+    """Normalise the three noise modes into one scan contract.
+
+    Returns ``(tail_xs, get_noise)``: ``tail_xs`` is a tuple of per-step
+    arrays the caller appends to its scanned ``xs``, and
+    ``get_noise(t0, t1, tail)`` produces the step's ``(W, U, A)`` triple from
+    the corresponding slice. Exactly one of ``noise_xs`` (precomputed
+    buffers), ``noise_fn`` (``noise_fn(i, t0, t1)`` in-scan, O(1) noise
+    memory) or ``bm`` (in-scan interval query) drives the noise — shared by
+    every fixed-step integrator so the noise-triple contract lives in one
+    place."""
+    needs_U = solver.needs_U
+    needs_A = solver.needs_A
+    if noise_xs is not None:
+        W, U, A = noise_xs
+        tail_xs = (W,) + ((U,) if needs_U else ()) + ((A,) if needs_A else ())
+
+        def get_noise(t0, t1, tail):
+            tail = list(tail)
+            W_step = tail.pop(0)
+            U_step = tail.pop(0) if needs_U else None
+            A_step = tail.pop(0) if needs_A else None
+            return W_step, U_step, A_step
+    elif noise_fn is not None:
+        tail_xs = (jnp.arange(n_steps, dtype=jnp.int32),)
+
+        def get_noise(t0, t1, tail):
+            return noise_fn(tail[0], t0, t1)
+    else:
+        tail_xs = ()
+
+        def get_noise(t0, t1, tail):
+            return query_bm(bm, t0, t1, needs_U, needs_A)
+    return tail_xs, get_noise
+
+
+def _make_step_fn(solver, get_noise, remat):
+    """One solver step fed by ``get_noise``; ``remat=True`` checkpoints it so
+    reverse-mode stores only the step's inputs (carry-sized), never its
+    internal activations. Callers keep any output-buffer scatter OUTSIDE this
+    function — checkpointing a body that carries an output buffer would save
+    the whole buffer as a residual every step."""
+    def step_fn(y, extra, t0, t1, tail):
+        noise = get_noise(t0, t1, tail)
+        return solver.step(t0, t1, y, extra, noise)
+    return jax.checkpoint(step_fn) if remat else step_fn
+
+
 def integrate_fixed(solver, y0, extra0, grid, ts, bm=None, noise_xs=None,
                     noise_fn=None, time_dtype=None, unroll=1, remat=False):
     """Fixed-step solve over ``grid``, interpolated onto ``ts``.
@@ -257,42 +305,17 @@ def integrate_fixed(solver, y0, extra0, grid, ts, bm=None, noise_xs=None,
     t0s = grid_dev[:-1]
     t1s = grid_dev[1:]
 
-    needs_U = solver.needs_U
-    needs_A = solver.needs_A
+    tail_xs, get_noise = _noise_stream(solver, len(grid) - 1, bm, noise_xs,
+                                       noise_fn)
+    step = _make_step_fn(solver, get_noise, remat)
+    xs = (t0s, t1s) + tail_xs
 
-    if noise_xs is not None:
-        W, U, A = noise_xs
-        xs = (t0s, t1s, W) + ((U,) if needs_U else ()) + ((A,) if needs_A else ())
+    def body(carry, x):
+        y, extra = carry
+        t0, t1, *tail = x
+        y1, extra1 = step(y, extra, t0, t1, tuple(tail))
+        return (y1, extra1), y1
 
-        def body(carry, x):
-            y, extra = carry
-            t0, t1, W_step, *rest = x
-            rest = list(rest)
-            U_step = rest.pop(0) if needs_U else None
-            A_step = rest.pop(0) if needs_A else None
-            y1, extra1 = solver.step(t0, t1, y, extra, (W_step, U_step, A_step))
-            return (y1, extra1), y1
-    elif noise_fn is not None:
-        xs = (t0s, t1s, jnp.arange(len(grid) - 1, dtype=jnp.int32))
-
-        def body(carry, x):
-            y, extra = carry
-            t0, t1, i = x
-            noise = noise_fn(i, t0, t1)
-            y1, extra1 = solver.step(t0, t1, y, extra, noise)
-            return (y1, extra1), y1
-    else:
-        xs = (t0s, t1s)
-
-        def body(carry, x):
-            y, extra = carry
-            t0, t1 = x
-            noise = query_bm(bm, t0, t1, needs_U, needs_A)
-            y1, extra1 = solver.step(t0, t1, y, extra, noise)
-            return (y1, extra1), y1
-
-    if remat:
-        body = jax.checkpoint(body)
     (_, extra_final), ys_steps = jax.lax.scan(body, (y0, extra0), xs,
                                               unroll=unroll)
     ys_grid = jax.tree_util.tree_map(
@@ -349,55 +372,25 @@ def integrate_fixed_sparse(solver, y0, extra0, grid, ts, bm=None,
     pos = np.full(n_steps + 1, P, np.int32)
     pos[needed] = np.arange(P, dtype=np.int32)
 
-    needs_U = solver.needs_U
-    needs_A = solver.needs_A
-
     buf0 = jax.tree_util.tree_map(
         lambda leaf: jnp.zeros((P,) + leaf.shape, leaf.dtype)
         .at[pos[0]].set(leaf), y0)
     slot_xs = jnp.asarray(pos[1:])
 
-    if noise_xs is not None:
-        W, U, A = noise_xs
-        xs = (t0s, t1s, slot_xs, W) + ((U,) if needs_U else ()) \
-            + ((A,) if needs_A else ())
+    tail_xs, get_noise = _noise_stream(solver, n_steps, bm, noise_xs, noise_fn)
+    # remat checkpoints ONLY the solver step: the (P, *state) output buffer is
+    # scattered outside the checkpointed region, so reverse-mode residuals
+    # stay O(n_steps x state), never O(n_steps x P x state).
+    step = _make_step_fn(solver, get_noise, remat)
+    xs = (t0s, t1s, slot_xs) + tail_xs
 
-        def body(carry, x):
-            y, extra, buf = carry
-            t0, t1, slot, W_step, *rest = x
-            rest = list(rest)
-            U_step = rest.pop(0) if needs_U else None
-            A_step = rest.pop(0) if needs_A else None
-            y1, extra1 = solver.step(t0, t1, y, extra,
-                                     (W_step, U_step, A_step))
-            buf = jax.tree_util.tree_map(lambda b, v: b.at[slot].set(v),
-                                         buf, y1)
-            return (y1, extra1, buf), None
-    elif noise_fn is not None:
-        xs = (t0s, t1s, slot_xs, jnp.arange(n_steps, dtype=jnp.int32))
+    def body(carry, x):
+        y, extra, buf = carry
+        t0, t1, slot, *tail = x
+        y1, extra1 = step(y, extra, t0, t1, tuple(tail))
+        buf = jax.tree_util.tree_map(lambda b, v: b.at[slot].set(v), buf, y1)
+        return (y1, extra1, buf), None
 
-        def body(carry, x):
-            y, extra, buf = carry
-            t0, t1, slot, i = x
-            noise = noise_fn(i, t0, t1)
-            y1, extra1 = solver.step(t0, t1, y, extra, noise)
-            buf = jax.tree_util.tree_map(lambda b, v: b.at[slot].set(v),
-                                         buf, y1)
-            return (y1, extra1, buf), None
-    else:
-        xs = (t0s, t1s, slot_xs)
-
-        def body(carry, x):
-            y, extra, buf = carry
-            t0, t1, slot = x
-            noise = query_bm(bm, t0, t1, needs_U, needs_A)
-            y1, extra1 = solver.step(t0, t1, y, extra, noise)
-            buf = jax.tree_util.tree_map(lambda b, v: b.at[slot].set(v),
-                                         buf, y1)
-            return (y1, extra1, buf), None
-
-    if remat:
-        body = jax.checkpoint(body)
     (_, extra_final, buf), _ = jax.lax.scan(body, (y0, extra0, buf0), xs,
                                             unroll=unroll)
 
@@ -463,45 +456,19 @@ def integrate_to_outputs(solver, y0, extra0, grid, boundary_idx, bm=None,
             out_slot[b - 1] = pos
     out_slot = jnp.asarray(out_slot)
 
-    needs_U = solver.needs_U
-    needs_A = solver.needs_A
-
     buf0 = jax.tree_util.tree_map(
         lambda leaf: jnp.zeros((T,) + leaf.shape, leaf.dtype).at[0].set(leaf), y0)
 
-    if noise_xs is not None:
-        W, U, A = noise_xs
-        xs = (t0s, t1s, out_slot, W) + ((U,) if needs_U else ()) + ((A,) if needs_A else ())
+    tail_xs, get_noise = _noise_stream(solver, n_steps, bm, noise_xs, noise_fn)
+    step = _make_step_fn(solver, get_noise, remat=False)
+    xs = (t0s, t1s, out_slot) + tail_xs
 
-        def body(carry, x):
-            y, extra, buf = carry
-            t0, t1, slot, W_step, *rest = x
-            rest = list(rest)
-            U_step = rest.pop(0) if needs_U else None
-            A_step = rest.pop(0) if needs_A else None
-            y1, extra1 = solver.step(t0, t1, y, extra, (W_step, U_step, A_step))
-            buf = jax.tree_util.tree_map(lambda b, v: b.at[slot].set(v), buf, y1)
-            return (y1, extra1, buf), None
-    elif noise_fn is not None:
-        xs = (t0s, t1s, out_slot, jnp.arange(n_steps, dtype=jnp.int32))
-
-        def body(carry, x):
-            y, extra, buf = carry
-            t0, t1, slot, i = x
-            noise = noise_fn(i, t0, t1)
-            y1, extra1 = solver.step(t0, t1, y, extra, noise)
-            buf = jax.tree_util.tree_map(lambda b, v: b.at[slot].set(v), buf, y1)
-            return (y1, extra1, buf), None
-    else:
-        xs = (t0s, t1s, out_slot)
-
-        def body(carry, x):
-            y, extra, buf = carry
-            t0, t1, slot = x
-            noise = query_bm(bm, t0, t1, needs_U, needs_A)
-            y1, extra1 = solver.step(t0, t1, y, extra, noise)
-            buf = jax.tree_util.tree_map(lambda b, v: b.at[slot].set(v), buf, y1)
-            return (y1, extra1, buf), None
+    def body(carry, x):
+        y, extra, buf = carry
+        t0, t1, slot, *tail = x
+        y1, extra1 = step(y, extra, t0, t1, tuple(tail))
+        buf = jax.tree_util.tree_map(lambda b, v: b.at[slot].set(v), buf, y1)
+        return (y1, extra1, buf), None
 
     (_, extra_final, buf), _ = jax.lax.scan(body, (y0, extra0, buf0), xs,
                                             unroll=unroll)

@@ -451,3 +451,17 @@ def select(method, sde_type):
     if cls is None:
         cls = next(iter(table.values()))
     return cls
+
+
+def method_noise_needs(method):
+    """``(needs_U, needs_A)`` for a method string without instantiating the
+    solver, OR-ed over the method's sde_type variants. Used by the noise
+    precompute size policy, which must account for U/A buffers (an A buffer
+    is ``m`` times the W buffer for general noise)."""
+    if method == METHODS.adjoint_reversible_heun:
+        return False, False
+    table = SOLVER_REGISTRY.get(method)
+    if table is None:
+        raise ValueError(f"Method '{method}' does not match any known method.")
+    return (any(c.needs_U for c in table.values()),
+            any(c.needs_A for c in table.values()))
