@@ -288,7 +288,8 @@ def integrate_fixed(solver, y0, extra0, grid, ts, bm=None, noise_xs=None,
     memory), or ``noise_xs`` (a precomputed ``(W, U, A)`` triple with leading
     dim ``len(grid)-1``) must drive the noise.
 
-    ``remat=True`` wraps the scan body in :func:`jax.checkpoint`: reverse-mode
+    ``remat=True`` checkpoints the solver step (:func:`jax.checkpoint`):
+    reverse-mode
     differentiation then stores only the per-step carry ``(y, extra)`` and
     recomputes the step's internal activations in the backward pass. This
     cuts backprop-through-solver residual memory from O(n_steps x step
