@@ -289,3 +289,27 @@ def test_pallas_rng_downgrade_warns(monkeypatch):
         warnings_mod.simplefilter("error", UserWarning)
         with pytest.raises(UserWarning, match="pallas"):
             jax.grad(loss)(sde)
+
+
+@pytest.mark.parametrize("in_scan", [False, True])
+def test_remat_grads_match_nonremat(monkeypatch, in_scan):
+    """remat=True only changes WHEN step activations are (re)computed, never
+    the values: backprop-through-solver gradients must match the non-remat
+    solve to float-equality, in both noise modes (the in-scan mode recomputes
+    the fold_in-keyed increments inside the checkpointed step during the
+    backward sweep — same keys, same values)."""
+    if in_scan:
+        monkeypatch.setattr(integrate, "NOISE_PRECOMPUTE_MAX_BYTES", 0)
+    sde = problems.ExDiagonal(d=d, sde_type="ito")
+    key = jax.random.PRNGKey(5)
+
+    def loss(sde_, remat):
+        ys = tsde.sdeint(sde_, _y0(), ts, dt=dt, key=key, remat=remat)
+        return jnp.sum(ys ** 2)
+
+    g_plain = jax.grad(lambda s: loss(s, False))(sde)
+    g_remat = jax.grad(lambda s: loss(s, True))(sde)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-14, atol=0)
