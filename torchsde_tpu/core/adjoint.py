@@ -135,10 +135,12 @@ def _make_noise_fn(cfg, bm, needs_U, needs_A):
         # both come through here, so they agree. Warn like sdeint does when
         # this silently overrides a requested hardware PRNG.
         if cfg.rng_impl == "pallas":
+            reason = ("noise_precompute=False was requested"
+                      if cfg.noise_precompute is False else
+                      "noise buffers exceed the precompute threshold")
             warnings.warn("rng_impl='pallas' only applies to precomputed "
                           "noise; this solve generates per-step threefry "
-                          "noise inside the scan (noise buffers exceed the "
-                          "precompute threshold).")
+                          f"noise inside the scan ({reason}).")
         return integrate.make_iid_noise_fn(
             bm._key, tuple(bm.shape), bm.dtype, needs_U=needs_U,
             needs_A=needs_A, levy_area_approximation=cfg.levy)

@@ -246,6 +246,17 @@ def _noise_stream(solver, n_steps, bm, noise_xs, noise_fn):
     needs_A = solver.needs_A
     if noise_xs is not None:
         W, U, A = noise_xs
+        if needs_U and U is None:
+            raise ValueError(
+                f"Solver '{type(solver).__name__}' needs the space-time Lévy "
+                "area channel U, but the precomputed noise buffers were built "
+                "without it. Precompute with needs_U=True (or use a "
+                "levy_area_approximation that includes 'space-time').")
+        if needs_A and A is None:
+            raise ValueError(
+                f"Solver '{type(solver).__name__}' needs the Lévy area "
+                "channel A, but the precomputed noise buffers were built "
+                "without it. Precompute with needs_A=True.")
         tail_xs = (W,) + ((U,) if needs_U else ()) + ((A,) if needs_A else ())
 
         def get_noise(t0, t1, tail):

@@ -210,10 +210,12 @@ def _integrate(solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol,
         # the scan (same law as sample_grid_noise, different stream; always
         # threefry — the pallas bulk generator is precompute-only).
         if rng_impl == "pallas":
+            reason = ("noise_precompute=False was requested"
+                      if noise_precompute is False else
+                      "noise buffers exceed the precompute threshold")
             warnings.warn("rng_impl='pallas' only applies to precomputed "
                           "noise; this solve generates per-step threefry "
-                          "noise inside the scan (noise buffers exceed the "
-                          "precompute threshold).")
+                          f"noise inside the scan ({reason}).")
         noise_fn = integrate.make_iid_noise_fn(
             inner._key, tuple(inner.shape), inner.dtype,
             needs_U=solver.needs_U, needs_A=solver.needs_A,
