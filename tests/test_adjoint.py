@@ -238,6 +238,79 @@ def test_gradgrad():
     assert bool(jnp.all(jnp.isfinite(gg_adj)))
 
 
+def test_traced_ts_adjoint():
+    """VERDICT r2 item 7: `ts` may be a traced array under `sdeint_adjoint`
+    for fixed-step solves with an explicit bm — the same contract as
+    `sdeint`'s traced branch (reference sdeint.py:161-166 accepts tensor ts
+    on both entry points). One compiled program serves every schedule of the
+    same length, with gradients matching the concrete-ts adjoint."""
+    sde = problems.NeuralDiagonal(d=d, sde_type="stratonovich")
+    bm = _bm_for(sde)
+    y0 = _y0()
+    n_traces = [0]
+
+    def loss_traced(sde_, ts_):
+        n_traces[0] += 1
+        ys = tsde.sdeint_adjoint(sde_, y0, ts_, bm=bm, method="midpoint",
+                                 dt=dt)
+        return jnp.sum(ys[-1] ** 2) + jnp.sum(ys[1])
+
+    gf = jax.jit(jax.grad(loss_traced, argnums=0))
+
+    # Grid-aligned schedule: the concrete adjoint's step-to-each-output grid
+    # coincides with the traced branch's full step grid, and interpolation is
+    # exact at grid points, so values AND gradients match to fp roundoff.
+    ts_aligned = jnp.asarray([0.0, 0.2, 0.4], DTYPE)
+    g_traced = gf(sde, ts_aligned)
+
+    def loss_concrete(sde_):
+        ys = tsde.sdeint_adjoint(sde_, y0, [0.0, 0.2, 0.4], bm=bm,
+                                 method="midpoint", dt=dt)
+        return jnp.sum(ys[-1] ** 2) + jnp.sum(ys[1])
+
+    g_concrete = jax.grad(loss_concrete)(sde)
+    assert _max_rel_err(g_traced, g_concrete) < 1e-9
+
+    # Second same-length schedule (off-grid interior point): no retrace, and
+    # values match the identical `sdeint` call (same grid, same interval
+    # noise, same stepping — only the gradient path differs).
+    ts2 = jnp.asarray([0.0, 0.137, 0.4], DTYPE)
+    gf(sde, ts2)
+    assert n_traces[0] == 1
+
+    def vals(ts_):
+        return tsde.sdeint_adjoint(sde, y0, ts_, bm=bm, method="midpoint",
+                                   dt=dt)
+
+    out2 = jax.jit(vals)(ts2)
+    ref2 = tsde.sdeint(sde, y0, np.asarray(ts2), bm=bm, method="midpoint",
+                       dt=dt)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=1e-12, atol=1e-12)
+
+    # Out-of-range schedules NaN-poison values and gradients (same contract
+    # and rationale as `sdeint`'s traced branch).
+    out_shift = jax.jit(vals)(jnp.asarray([0.1, 0.2, 0.4], DTYPE))
+    assert bool(jnp.all(jnp.isnan(out_shift)))
+    g_over = gf(sde, jnp.asarray([0.0, 0.2, 0.5], DTYPE))
+    assert all(bool(jnp.all(jnp.isnan(x)))
+               for x in jax.tree_util.tree_leaves(g_over))
+
+    # Modes whose step grid genuinely depends on the concrete schedule still
+    # raise cleanly.
+    with pytest.raises(ValueError, match="[Tt]raced"):
+        jax.jit(lambda ts_: tsde.sdeint_adjoint(
+            sde, y0, ts_, bm=bm, method="midpoint", dt=dt,
+            adaptive=True))(ts_aligned)
+    with pytest.raises(ValueError, match="[Tt]raced"):
+        jax.jit(lambda ts_: tsde.sdeint_adjoint(
+            sde, y0, ts_, bm=bm, method="midpoint", dt=dt,
+            adjoint_adaptive=True))(ts_aligned)
+    with pytest.raises(ValueError, match="reversible_heun"):
+        jax.jit(lambda ts_: tsde.sdeint_adjoint(
+            sde, y0, ts_, bm=bm, method="reversible_heun", dt=dt))(ts_aligned)
+
+
 def test_adaptive_forward_adjoint():
     """Adaptive forward solve with adjoint gradients agrees with a fine
     fixed-step adjoint."""

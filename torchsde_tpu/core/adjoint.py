@@ -549,28 +549,50 @@ def sdeint_adjoint(sde,
                 f"leaves of the `sde` actually passed in; `adjoint_params` is "
                 f"ignored.")
 
-    # Reject traced ts BEFORE check_contract: its traced branch would first
-    # demand an explicit bm, sending the user through a misleading two-step
-    # failure before hitting this (the real) limitation.
-    if isinstance(ts, jax.core.Tracer):
-        raise ValueError(
-            "Traced `ts` is supported by `sdeint` (fixed-step, explicit bm) "
-            "but not `sdeint_adjoint`: the adjoint steps exactly to each "
-            "output time, so its step grid depends on the concrete schedule.")
     sde, y0, ts, bm, method, options = sdeint_mod.check_contract(
         sde, y0, ts, bm, method, adaptive, options, names, logqp, key, entropy)
     adjoint_method = _select_default_adjoint_method(sde, method, adjoint_method)
     adjoint_options = {} if adjoint_options is None else dict(adjoint_options)
+
+    ts_traced = isinstance(ts, jax.core.Tracer)
+    if ts_traced and (adaptive or adjoint_adaptive):
+        raise ValueError("Traced `ts` is only supported for fixed-step "
+                         "adjoint solves (the adaptive loop's output "
+                         "bookkeeping needs concrete output times).")
 
     if method == METHODS.reversible_heun or adjoint_method == METHODS.adjoint_reversible_heun:
         if adaptive:
             raise ValueError("method='reversible_heun' with adaptive=True is not "
                              "supported under sdeint_adjoint: the backward "
                              "reconstruction must re-step the exact forward grid.")
+        if ts_traced:
+            raise ValueError(
+                "Traced `ts` is not supported with method='reversible_heun' "
+                "under sdeint_adjoint: its algebraically-reversed backward "
+                "must re-step the exact forward grid, which a traced "
+                "schedule cannot pin down. Use a concrete `ts`, or a "
+                "non-reversible method.")
         from .adjoint_solvers import sdeint_adjoint_reversible_heun
         return sdeint_adjoint_reversible_heun(
             sde, y0, ts, bm, dt, options, adjoint_options, logqp, extra,
             extra_solver_state)
+
+    if ts_traced:
+        # Same contract as `sdeint`'s traced branch (reference sdeint.py:
+        # 161-166 accepts tensor ts on both entry points): the explicit
+        # `bm`'s [t0, t1] provides the static solve range; `ts` only steers
+        # on-device output interpolation. The adjoint solves over the FULL
+        # static step grid with an output at every grid point (each output
+        # interval is exactly one dt-step, so build_interval_grid reproduces
+        # this same grid), then interpolates onto the traced schedule OUTSIDE
+        # the custom_vjp — output cotangents flow through the interpolation
+        # weights into the merged adjoint backward unchanged. Residuals in
+        # this mode are the (n_grid, batch, d) grid states — O(n_steps), not
+        # O(T): a traced schedule can bracket any grid cell, so every state
+        # is a potential output.
+        ts_solve = integrate.build_step_grid(bm.t0, bm.t1, dt)
+    else:
+        ts_solve = ts
 
     grid_noise = isinstance(bm, sdeint_mod._BMWrapper)
     if (adaptive or adjoint_adaptive) and grid_noise:
@@ -589,8 +611,8 @@ def sdeint_adjoint(sde,
         # Step-attempt budget for the *differentiated* (double-backward)
         # merged adaptive backward; the undifferentiated primal uses a
         # dynamic while-loop and ignores it.
-        adjoint_max_steps = sdeint_mod.default_max_steps(ts, dt, dt_min)
-    cfg = _Cfg(ts=tuple(float(t) for t in ts), dt=float(dt), method=method,
+        adjoint_max_steps = sdeint_mod.default_max_steps(ts_solve, dt, dt_min)
+    cfg = _Cfg(ts=tuple(float(t) for t in ts_solve), dt=float(dt), method=method,
                adjoint_method=adjoint_method, grid_noise=grid_noise,
                levy=inner_bm.levy_area_approximation,
                options=_hash_opts(options), adjoint_options=_hash_opts(adjoint_options),
@@ -607,9 +629,23 @@ def sdeint_adjoint(sde,
                          f"{solver.levy_area_approximations} set as the "
                          f"`levy_area_approximation` on the Brownian motion.")
     if extra_solver_state is None:
-        t0_arr = jnp.asarray(ts[0], sdeint_mod._time_dtype(y0))
+        t0_arr = jnp.asarray(ts_solve[0], sdeint_mod._time_dtype(y0))
         extra_solver_state = solver.init_extra_solver_state(t0_arr, y0)
 
     ys, extra_solver_state = _adjoint_solve(cfg, sde, inner_bm, y0,
                                             tuple(extra_solver_state))
+    if ts_traced:
+        # Interpolate the grid outputs onto the traced schedule, then poison
+        # out-of-range schedules exactly like `sdeint`'s traced branch (and
+        # for the same reason — neither bound is checkable at trace time;
+        # multiplicative poisoning keeps values AND gradients loud).
+        time_dtype = sdeint_mod._time_dtype(y0)
+        grid_dev = jnp.asarray(ts_solve, time_dtype)
+        ts_dev = jnp.asarray(ts, time_dtype)
+        ys = integrate.linear_interp_on_grid(ts_dev, grid_dev, ys)
+        ok = jnp.logical_and(ts_dev[0] == grid_dev[0],
+                             ts_dev[-1] <= grid_dev[-1])
+        poison = jnp.where(ok, jnp.asarray(1.0, time_dtype),
+                           jnp.asarray(jnp.nan, time_dtype))
+        ys = jax.tree_util.tree_map(lambda l: l * poison.astype(l.dtype), ys)
     return sdeint_mod.parse_return(y0, ys, extra_solver_state, extra, logqp)
