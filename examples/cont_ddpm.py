@@ -24,6 +24,10 @@ def main():
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--sample-dt", type=float, default=2e-2)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--log-jsonl", type=str, default=None,
+                   help="append per-step loss records to this JSONL file")
+    p.add_argument("--artifacts-dir", type=str, default=None,
+                   help="save the sample grid + acceptance record here")
     args = p.parse_args()
 
     import jax
@@ -64,18 +68,49 @@ def main():
         updates, opt_state = opt.update(grads, opt_state, sde)
         return optax.apply_updates(sde, updates), opt_state, loss
 
+    from _evidence import JsonlLogger, artifact_path, save_acceptance
+    logger = JsonlLogger(args.log_jsonl)
+
+    def blob_fit(samples):
+        """Mean Pearson correlation between each sample and the ideal
+        gaussian blob rendered at the sample's own peak position — 1.0 means
+        the model generates exactly the data family (blobs of width H/8
+        anywhere in the central region), ~0 for noise. Qualitative-sample
+        acceptance in the spirit of the reference's scheduled image dumps
+        (cont_ddpm.py:276-306), made numeric."""
+        yy, xx = jnp.mgrid[0:H, 0:H]
+        corrs = []
+        for img in samples[:, 0]:
+            # Peak of the lightly smoothed image = blob centre estimate.
+            from scipy import ndimage
+            sm = ndimage.gaussian_filter(jnp.asarray(img), 1.0)
+            cy, cx = jnp.unravel_index(int(sm.argmax()), sm.shape)
+            ideal = jnp.exp(-((xx - cx) ** 2 + (yy - cy) ** 2)
+                            / (2 * (H / 8) ** 2)) * 2 - 1
+            a = (img - img.mean()).ravel()
+            b = (ideal - ideal.mean()).ravel()
+            corrs.append(float((a @ b) / (jnp.linalg.norm(a)
+                                          * jnp.linalg.norm(b) + 1e-12)))
+        return float(jnp.mean(jnp.asarray(corrs)))
+
+    losses = []
+    log_every = max(1, args.steps // 200)
     for step in range(args.steps):
         idx = jax.random.permutation(jax.random.fold_in(key, 100 + step),
                                      data.shape[0])[:args.batch]
         sde, opt_state, loss = train_step(sde, opt_state,
                                           jax.random.fold_in(key, 200 + step),
                                           data[idx])
+        if step % log_every == 0 or step == args.steps - 1:
+            losses.append(float(loss))
+            logger.write(step=step, loss=float(loss))
         if step % max(1, args.steps // 10) == 0:
             print(f"step {step:4d} score-matching loss {float(loss):10.3f}")
 
     rev = ReverseDiffeqWrapper(sde)
+    n_show = 16
     samp_sde = rev.sde_sample_final(jax.random.fold_in(key, 900),
-                                    batch_size=4, dt=args.sample_dt)
+                                    batch_size=n_show, dt=args.sample_dt)
     samp_ode = rev.ode_sample(batch_size=4, dt=args.sample_dt,
                               key=jax.random.fold_in(key, 901))
     print("reverse-SDE samples:", samp_sde.shape,
@@ -83,6 +118,45 @@ def main():
           "range", float(samp_sde.min()), float(samp_sde.max()))
     print("prob-flow ODE samples:", samp_ode.shape,
           "finite:", bool(jnp.all(jnp.isfinite(samp_ode))))
+
+    corr = blob_fit(samp_sde)
+    loss0 = losses[0] if losses else float("nan")
+    loss1 = (float(jnp.mean(jnp.asarray(losses[-10:])))
+             if losses else float("nan"))
+    # Acceptance: reverse-SDE samples are blob-shaped (mean correlation with
+    # the ideal blob at each sample's own peak > 0.8; noise scores ~0) and
+    # the score-matching loss dropped at least 3x from its first record
+    # (RESULTS.md).
+    save_acceptance(
+        args.artifacts_dir, "cont_ddpm_acceptance.json",
+        workload="cont_ddpm", steps=args.steps, batch=args.batch,
+        loss_first=loss0, loss_final_mean10=loss1, blob_corr=corr,
+        accept_blob_corr_above=0.8, accept_loss_drop_factor=3.0,
+        passed=bool(corr > 0.8 and loss1 * 3.0 < loss0))
+
+    if args.artifacts_dir:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(4, 8, figsize=(14, 7))
+        for i in range(n_show):
+            ax = axes[i // 8][i % 8]
+            ax.imshow(jnp.asarray(samp_sde[i, 0]), cmap="gray",
+                      vmin=-1, vmax=1)
+            ax.set_title("sample", fontsize=7)
+            ax.axis("off")
+        for j in range(16):
+            ax = axes[2 + j // 8][j % 8]
+            ax.imshow(jnp.asarray(data[j, 0]), cmap="gray", vmin=-1, vmax=1)
+            ax.set_title("data", fontsize=7)
+            ax.axis("off")
+        fig.suptitle(f"cont-DDPM reverse-SDE samples vs data "
+                     f"(blob corr {corr:.3f}, loss {loss0:.1f} -> {loss1:.1f})")
+        fig.tight_layout()
+        out = artifact_path(args.artifacts_dir, "cont_ddpm_samples.png")
+        fig.savefig(out, dpi=110)
+        print("saved", out)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,10 @@ def main():
                    help="whole-solve Pallas kernels (TPU; needs --no-adjoint)")
     p.add_argument("--restore", type=str, default=None,
                    help="checkpoint path to restore before training")
+    p.add_argument("--log-jsonl", type=str, default=None,
+                   help="append per-step loss records to this JSONL file")
+    p.add_argument("--artifacts-dir", type=str, default=None,
+                   help="save the posterior-fit plot + acceptance record here")
     args = p.parse_args()
 
     import jax
@@ -71,10 +75,28 @@ def main():
         updates, opt_state = opt.update(grads, opt_state, model)
         return optax.apply_updates(model, updates), opt_state, loss, aux
 
+    from _evidence import JsonlLogger, artifact_path, save_acceptance
+    logger = JsonlLogger(args.log_jsonl)
+
+    def recon_mse(model, key_):
+        """Reconstruction MSE of one posterior sample path vs the data, in
+        normalised data units (the eval the reference's fit plots visualise,
+        latent_sde_lorenz.py:204-260)."""
+        samples = sample_posterior(model, xs, ts, key_, dt=args.dt)
+        return float(jnp.mean((samples - xs) ** 2))
+
+    mse0 = recon_mse(model, jax.random.fold_in(key, 999))
+    print(f"initial reconstruction MSE {mse0:.4f}")
+
+    log_every = max(1, args.steps // 200)
     for step in range(args.steps):
         kl_weight = min(1.0, step / args.kl_anneal_iters)
         model, opt_state, loss, aux = train_step(
             model, opt_state, jax.random.fold_in(key, 100 + step), kl_weight)
+        if step % log_every == 0 or step == args.steps - 1:
+            logger.write(step=step, loss=float(loss),
+                         log_pxs=float(aux["log_pxs"]),
+                         kl=float(aux["logqp"]), kl_weight=kl_weight)
         if step % max(1, args.steps // 10) == 0:
             print(f"step {step:4d} loss {float(loss):12.3f} "
                   f"log_pxs {float(aux['log_pxs']):10.3f} "
@@ -84,9 +106,57 @@ def main():
         from torchsde_tpu.utils.checkpoint import save_pytree
         print("saved to", save_pytree(args.save, model))
 
-    samples = sample_posterior(model, xs, ts, jax.random.fold_in(key, 999))
+    samples = sample_posterior(model, xs, ts, jax.random.fold_in(key, 999),
+                               dt=args.dt)
     print("posterior samples:", samples.shape,
           "finite:", bool(jnp.all(jnp.isfinite(samples))))
+
+    mse1 = recon_mse(model, jax.random.fold_in(key, 999))
+    # Acceptance: the trained posterior reconstructs the (unit-variance
+    # normalised) Lorenz paths far better than the untrained model — below
+    # an absolute 0.15 data-variance units AND at least 4x under the
+    # untrained MSE. Thresholds sit well above the converged value and well
+    # below the untrained one (RESULTS.md).
+    save_acceptance(
+        args.artifacts_dir, "latent_sde_lorenz_acceptance.json",
+        workload="latent_sde_lorenz", steps=args.steps, batch=args.batch,
+        recon_mse_initial=mse0, recon_mse_final=mse1,
+        accept_recon_mse_below=0.15, accept_improvement_factor=4.0,
+        passed=bool(mse1 < 0.15 and mse1 * 4.0 < mse0))
+
+    if args.artifacts_dir:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure(figsize=(12, 7))
+        ts_np = jnp.asarray(ts)
+        n_show = 4
+        for dim, label in enumerate("xyz"):
+            ax = fig.add_subplot(2, 3, dim + 1)
+            for b in range(n_show):
+                ax.plot(ts_np, xs[:, b, dim], lw=1.0, alpha=0.8,
+                        color=f"C{b}")
+                ax.plot(ts_np, samples[:, b, dim], lw=1.0, ls="--",
+                        color=f"C{b}")
+            ax.set_title(f"{label}(t): data (solid) vs posterior (dashed)")
+        ax3d = fig.add_subplot(2, 3, 4, projection="3d")
+        for b in range(n_show):
+            ax3d.plot(xs[:, b, 0], xs[:, b, 1], xs[:, b, 2], lw=0.8,
+                      color=f"C{b}")
+        ax3d.set_title("data")
+        bx3d = fig.add_subplot(2, 3, 5, projection="3d")
+        for b in range(n_show):
+            bx3d.plot(samples[:, b, 0], samples[:, b, 1], samples[:, b, 2],
+                      lw=0.8, ls="--", color=f"C{b}")
+        bx3d.set_title("posterior samples")
+        ax = fig.add_subplot(2, 3, 6)
+        ax.set_title(f"recon MSE {mse0:.3f} -> {mse1:.4f}")
+        ax.axis("off")
+        fig.tight_layout()
+        out = artifact_path(args.artifacts_dir, "latent_sde_lorenz_fit.png")
+        fig.savefig(out, dpi=110)
+        print("saved", out)
 
 
 if __name__ == "__main__":
