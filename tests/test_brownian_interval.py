@@ -423,3 +423,43 @@ def test_adaptive_warns_when_dt_min_below_leaf():
         _w.simplefilter("always")
         sdeint_mod.warn_if_coarser_than_dt_min(bm, dt_min=1e-5)
     assert any("leaf width" in str(r.message) for r in rec)
+
+
+@pytest.mark.parametrize("levy_area_approximation",
+                         ["none", "space-time", "foster"])
+def test_query_pairs_bitwise_matches_call(levy_area_approximation):
+    """query_pairs (one shared descent per point — the adaptive hot path's
+    3-descents-per-attempt form) is bitwise identical to querying each pair
+    through __call__, for W, U and A, with traced AND concrete points."""
+    bm = tsde.BrownianInterval(0.0, 1.0, (4, D), dtype=jnp.float64, entropy=5,
+                               levels=24,
+                               levy_area_approximation=levy_area_approximation)
+    rU = levy_area_approximation in ("space-time", "foster")
+    rA = levy_area_approximation == "foster"
+    pairs = ((0, 2), (0, 1), (1, 2))
+    pts = jnp.asarray([0.2, 0.35321, 0.5], jnp.float64)
+
+    batched = jax.jit(lambda p: bm.query_pairs(p, pairs, return_U=rU,
+                                               return_A=rA))(pts)
+    single = jax.jit(lambda a, b: bm(a, b, return_U=rU, return_A=rA))
+
+    for (ia, ib), got in zip(pairs, batched):
+        want = single(pts[ia], pts[ib])
+        got_leaves = got if isinstance(got, tuple) else (got,)
+        want_leaves = want if isinstance(want, tuple) else (want,)
+        for gl, wl in zip(got_leaves, want_leaves):
+            assert bool(jnp.all(gl == wl)), (ia, ib, levy_area_approximation)
+
+    # ReverseBrownian pairs: rev interval == base(-tb, -ta), shared descents.
+    from torchsde_tpu.brownian.derived import ReverseBrownian
+    rev = ReverseBrownian(bm)
+    rpts = jnp.asarray([-0.5, -0.35321, -0.2], jnp.float64)
+    rbatched = jax.jit(lambda p: rev.query_pairs(p, pairs, return_U=rU,
+                                                 return_A=rA))(rpts)
+    rsingle = jax.jit(lambda a, b: rev(a, b, return_U=rU, return_A=rA))
+    for (ia, ib), got in zip(pairs, rbatched):
+        want = rsingle(rpts[ia], rpts[ib])
+        got_leaves = got if isinstance(got, tuple) else (got,)
+        want_leaves = want if isinstance(want, tuple) else (want,)
+        for gl, wl in zip(got_leaves, want_leaves):
+            assert bool(jnp.all(gl == wl)), ("rev", ia, ib)

@@ -37,6 +37,14 @@ class ReverseBrownian(base.BaseBrownian):
         flip = lambda x: None if x is None else x[::-1]  # noqa: E731
         return flip(W), flip(U), flip(A)
 
+    def query_pairs(self, points, pairs, return_U=False, return_A=False):
+        """Shared-descent multi-pair query: ``rev`` interval
+        ``(points[ia], points[ib])`` is forward interval ``(-tb, -ta)``, so
+        negate the points and swap each pair's indices."""
+        return self.base_brownian.query_pairs(
+            -jnp.asarray(points), [(ib, ia) for ia, ib in pairs],
+            return_U=return_U, return_A=return_A)
+
     def __repr__(self):
         return f"{self.__class__.__name__}(base_brownian={self.base_brownian})"
 
@@ -74,6 +82,11 @@ class BrownianPath(base.BaseBrownian):
     def query_grid(self, grid, return_U=False, return_A=False):
         return self._interval.query_grid(grid, return_U=return_U,
                                          return_A=return_A)
+
+    def query_pairs(self, points, pairs, return_U=False, return_A=False):
+        # The w0 offset applies to point evaluation only, never to intervals.
+        return self._interval.query_pairs(points, pairs, return_U=return_U,
+                                          return_A=return_A)
 
     def __repr__(self):
         return f"{self.__class__.__name__}(interval={self._interval})"
@@ -116,6 +129,11 @@ class BrownianTree(base.BaseBrownian):
     def query_grid(self, grid, return_U=False, return_A=False):
         return self._interval.query_grid(grid, return_U=return_U,
                                          return_A=return_A)
+
+    def query_pairs(self, points, pairs, return_U=False, return_A=False):
+        # The w0 offset applies to point evaluation only, never to intervals.
+        return self._interval.query_pairs(points, pairs, return_U=return_U,
+                                          return_A=return_A)
 
     def __repr__(self):
         return f"{self.__class__.__name__}(interval={self._interval})"

@@ -475,6 +475,54 @@ class BrownianInterval(base.BaseBrownian):
             return W, A
         return W
 
+    def query_pairs(self, points, pairs, return_U=False, return_A=False):
+        """Traced multi-interval query sharing ONE dyadic descent per point.
+
+        ``points`` is a 1-D (possibly traced) array of times; ``pairs`` a
+        static sequence of ``(ia, ib)`` index pairs with
+        ``points[ia] <= points[ib]``. Returns one result per pair in
+        ``__call__``'s output format. Bitwise identical to querying each
+        pair through ``__call__`` — every increment is a difference of the
+        same per-point prefix statistics, and the Lévy-area key depends only
+        on the two endpoints' branch words — but runs ``len(points)``
+        descents instead of ``2 * len(pairs)``. This is the adaptive
+        integrator's hot path: one step attempt needs (t, t+h), (t, tm),
+        (tm, t+h) — three pairs over three unique points, so 3 descents
+        instead of 6.
+        """
+        ftype = jax.dtypes.canonicalize_dtype(jnp.float64)
+        pts = jnp.clip(jnp.asarray(points, ftype), self._t0, self._t1)
+        depth = self._levels
+        dtype = self.dtype
+        w_prefs, i_prefs, starts, words = jax.vmap(
+            lambda t: self._prefix(depth, t=t))(pts)
+
+        out = []
+        for ia, ib in pairs:
+            w_a, i_a = w_prefs[ia], i_prefs[ia]
+            w_b, i_b = w_prefs[ib], i_prefs[ib]
+            h = (starts[ib] - starts[ia]).astype(dtype)
+            degenerate = starts[ib] == starts[ia]
+            W = w_b - w_a
+            H = None
+            if self._have_H:
+                U = i_b - i_a - h * w_a
+                h_safe = jnp.where(degenerate, jnp.ones_like(h), h)
+                H = jnp.where(degenerate, jnp.zeros_like(U),
+                              U / h_safe - 0.5 * W)
+            W = jnp.where(degenerate, jnp.zeros_like(W), W)
+            A = None
+            if self._have_A:
+                A = self._levy_area(words[ia], words[ib], W, H, h, degenerate)
+            U_out = h * (0.5 * W + H) if self._have_H else None
+            res = [W]
+            if return_U:
+                res.append(U_out)
+            if return_A:
+                res.append(A)
+            out.append(res[0] if len(res) == 1 else tuple(res))
+        return out
+
     def query_grid(self, grid, return_U=False, return_A=False):
         """Bulk query of all ``len(grid) - 1`` consecutive increments in one pass.
 

@@ -195,6 +195,35 @@ def query_bm(bm, t0, t1, needs_U, needs_A):
     return W, U, A
 
 
+def query_bm_pairs(bm, points, pairs, needs_U, needs_A):
+    """Query several intervals over shared endpoints, as (W, U, A) triples.
+
+    Samplers exposing ``query_pairs`` (BrownianInterval and its wrappers) run
+    ONE traced dyadic descent per unique point instead of two per pair —
+    bitwise-identical results, half the descents on the adaptive hot path.
+    Duck-typed samplers fall back to per-pair ``__call__`` queries.
+    """
+    if hasattr(bm, "query_pairs"):
+        outs = bm.query_pairs(points, pairs, return_U=needs_U,
+                              return_A=needs_A)
+        res = []
+        for o in outs:
+            if needs_U and needs_A:
+                W, U, A = o
+            elif needs_U:
+                W, U = o
+                A = None
+            elif needs_A:
+                W, A = o
+                U = None
+            else:
+                W, U, A = o, None, None
+            res.append((W, U, A))
+        return res
+    return [query_bm(bm, points[ia], points[ib], needs_U, needs_A)
+            for ia, ib in pairs]
+
+
 def precompute_bm_noise(bm, grid, needs_U, needs_A):
     """Batch all of a fixed grid's noise queries into one pass, outside any scan.
 
@@ -552,9 +581,11 @@ def adaptive_attempt(solver, bm, t, next_t, state, extra, h, prev_ratio,
     needs_U = solver.needs_U
     needs_A = solver.needs_A
     mid_t = 0.5 * (t + next_t)
-    noise_full = query_bm(bm, t, next_t, needs_U, needs_A)
-    noise_h1 = query_bm(bm, t, mid_t, needs_U, needs_A)
-    noise_h2 = query_bm(bm, mid_t, next_t, needs_U, needs_A)
+    # Three intervals over three unique endpoints: share the per-point
+    # descents (3 instead of 6) — bitwise the same noise.
+    noise_full, noise_h1, noise_h2 = query_bm_pairs(
+        bm, jnp.stack([t, mid_t, next_t]), ((0, 2), (0, 1), (1, 2)),
+        needs_U, needs_A)
 
     y_full, _ = solver.step(t, next_t, state, extra, noise_full)
     y_mid, extra_mid = solver.step(t, mid_t, state, extra, noise_h1)
