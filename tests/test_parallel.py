@@ -225,6 +225,92 @@ def test_stacked_replicas_match_independent_training():
     assert bool(jnp.all(jnp.isfinite(losses2)))
 
 
+def test_replica_dp_2d_mesh():
+    """Replica x DP composition (VERDICT r2 item 8): K replicas on one mesh
+    axis, each data-parallel over the other axis on its batch dimension, in
+    ONE program — and it must equal per-replica single-device training (the
+    replica axis is communication-free; the data axis psums per-replica
+    gradients only)."""
+    from torchsde_tpu.models.latent_sde import LatentSDE, latent_sde_loss
+    from torchsde_tpu.parallel import replicas as R
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    key = jax.random.PRNGKey(11)
+    T, B, DATA, K = 4, 8, 3, 4
+    ts = jnp.linspace(0.0, 1.0, T)
+
+    def make(k):
+        return LatentSDE(k, DATA, 2, 8, 16)
+
+    def loss_fn(model, batch, k):
+        loss, _ = latent_sde_loss(model, batch, ts, k, dt=0.25)
+        return loss
+
+    mkeys = jax.random.split(jax.random.fold_in(key, 2), K)
+    skeys = jax.random.split(jax.random.fold_in(key, 4), K)
+    batches = jax.random.normal(jax.random.fold_in(key, 1), (K, T, B, DATA))
+
+    models = R.stack_replicas(make, mkeys)
+    step = R.replica_train_step(loss_fn, lr=1e-6)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(K, 2),
+                ("replica", "data"))
+    models_sh = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("replica"))),
+        models)
+    batches_sh = jax.device_put(
+        batches, NamedSharding(mesh, P("replica", None, "data")))
+    skeys_sh = jax.device_put(skeys, NamedSharding(mesh, P("replica")))
+    models2, losses_sh = step(models_sh, batches_sh, skeys_sh)
+
+    # per-replica single-device reference
+    for i in range(K):
+        m = make(mkeys[i])
+        l1, g = jax.value_and_grad(loss_fn)(m, batches[i], skeys[i])
+        np.testing.assert_allclose(float(losses_sh[i]), float(l1), rtol=1e-5)
+        m = jax.tree_util.tree_map(lambda p, gg: p - 1e-6 * gg, m, g)
+        for a, b in zip(jax.tree_util.tree_leaves(
+                R.unstack_replica(models2, i)), jax.tree_util.tree_leaves(m)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)
+    # The replica axis stays partitioned through the update.
+    assert not models2.projector.w.sharding.is_fully_replicated
+
+
+def test_two_slice_mesh_dp_across_dcn():
+    """Simulated 2-slice pod (2 slices x 4 chips): following make_mesh_2d's
+    DCN guidance, the data axis spans slices (gradient psums tolerate DCN
+    latency) and the model axis stays within a slice (per-matmul TP
+    collectives need ICI). Checks the device layout the helper produces
+    matches that guidance, then runs a DPxTP training step on it."""
+    from torchsde_tpu.models.latent_sde import LatentSDE, latent_sde_loss
+
+    devices = jax.devices()[:8]
+    slice0, slice1 = devices[:4], devices[4:]
+    m2 = pmesh.make_mesh_2d(n_model=4, devices=devices)
+    assert dict(m2.shape) == {"data": 2, "model": 4}
+    # data index 0 -> slice 0, data index 1 -> slice 1: each model row
+    # (fast TP collectives) lives entirely within one simulated slice.
+    assert list(m2.devices[0]) == slice0 and list(m2.devices[1]) == slice1
+
+    key = jax.random.PRNGKey(0)
+    T, B = 4, 16
+    ts = jnp.linspace(0.0, 0.3, T)
+    xs = jax.random.normal(jax.random.fold_in(key, 1), (T, B, 3), jnp.float32)
+    model = LatentSDE(jax.random.fold_in(key, 2), data_size=3, latent_size=4,
+                      context_size=8, hidden_size=16)
+
+    def loss_fn(model, xs, key):
+        loss, _ = latent_sde_loss(model, xs, ts, key, dt=0.1)
+        return loss
+
+    base = float(jax.jit(loss_fn)(model, xs, key))
+    xs_sh = pmesh.shard_batch(xs, m2, batch_axis=1)
+    model_sh = pmesh.shard_latent_sde_tp(model, m2)
+    loss = float(jax.jit(loss_fn)(model_sh, xs_sh, key))
+    np.testing.assert_allclose(loss, base, rtol=1e-4)
+
+
 def test_replicas_sharded_over_mesh():
     """Replica-axis parallelism: the stacked-replica training step with the
     K axis sharded over the 8-device mesh must match the single-device
