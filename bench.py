@@ -32,7 +32,7 @@ T_SIZE = 32
 T1 = 1.0
 DT = 1.0 / 128
 N_STEPS = 48
-TPU_TIMEOUT_S = 840
+TPU_TIMEOUT_S = 1080  # two compiles per attempt now (primary + XLA anchor)
 
 
 def bench_ours(platform=None, adjoint=False):
@@ -72,40 +72,50 @@ def bench_ours(platform=None, adjoint=False):
                   "using XLA path", file=sys.stderr)
             fused = False
 
-    def loss_fn(model, xs, key):
-        loss, _ = latent_sde_loss(model, xs, ts, key, dt=DT, adjoint=adjoint,
-                                  fused=fused)
-        return loss
+    def measure(use_fused):
+        def loss_fn(model, xs, key):
+            loss, _ = latent_sde_loss(model, xs, ts, key, dt=DT,
+                                      adjoint=adjoint, fused=use_fused)
+            return loss
 
-    def train_step(model, step_idx):
-        # fold_in INSIDE the jit: an eager fold_in would dispatch its own tiny
-        # device program every iteration (tunnel RTT each, ~0.4 ms).
-        loss, grads = jax.value_and_grad(loss_fn)(
-            model, xs, jax.random.fold_in(key, step_idx))
-        model = jax.tree_util.tree_map(lambda p, g: p - 1e-4 * g, model, grads)
-        return model, loss
+        def train_step(model, step_idx):
+            # fold_in INSIDE the jit: an eager fold_in would dispatch its own
+            # tiny device program every iteration (tunnel RTT each, ~0.4 ms).
+            loss, grads = jax.value_and_grad(loss_fn)(
+                model, xs, jax.random.fold_in(key, step_idx))
+            model = jax.tree_util.tree_map(lambda p, g: p - 1e-4 * g, model,
+                                           grads)
+            return model, loss
 
-    # Packed training state: the model crosses the host/device boundary as
-    # ONE flat buffer per iteration instead of ~35 leaf handles (~25 us of
-    # host/tunnel overhead per leaf per step) — utils/packing.py. With the
-    # fused kernels the device step is ~7 ms, so per-dispatch tunnel overhead
-    # matters: run K=4 full train steps per dispatch inside lax.scan
-    # (within-run A/B: +7% over 1-step dispatches at this config).
-    from torchsde_tpu.utils.packing import pack_train_step
-    step = pack_train_step(train_step, model)
-    K = 4
-    mstep = step.multi(K)
-    n_timed = (N_STEPS // K) * K
-    packed = step.pack(model)
-    _, losses = mstep(packed, jnp.int32(0))  # compile + warmup
-    float(losses[-1])  # forces real execution (async backend)
-    t0 = time.perf_counter()
-    p = packed
-    for i in range(n_timed // K):
-        p, losses = mstep(p, jnp.int32(i))
-    float(losses[-1])  # one fetch at the end of the dependent chain
-    elapsed = time.perf_counter() - t0
-    return n_timed / elapsed, jax.devices()[0].platform
+        # Packed training state: the model crosses the host/device boundary
+        # as ONE flat buffer per iteration instead of ~35 leaf handles (~25 us
+        # of host/tunnel overhead per leaf per step) — utils/packing.py. With
+        # the fused kernels the device step is ~7 ms, so per-dispatch tunnel
+        # overhead matters: run K=4 full train steps per dispatch inside
+        # lax.scan (within-run A/B: +7% over 1-step dispatches).
+        from torchsde_tpu.utils.packing import pack_train_step
+        step = pack_train_step(train_step, model)
+        K = 4
+        mstep = step.multi(K)
+        n_timed = (N_STEPS // K) * K
+        packed = step.pack(model)
+        _, losses = mstep(packed, jnp.int32(0))  # compile + warmup
+        float(losses[-1])  # forces real execution (async backend)
+        t0 = time.perf_counter()
+        p = packed
+        for i in range(n_timed // K):
+            p, losses = mstep(p, jnp.int32(i))
+        float(losses[-1])  # one fetch at the end of the dependent chain
+        return n_timed / (time.perf_counter() - t0)
+
+    primary = measure(fused)
+    # Within-run A/B anchor (VERDICT r2 item 4): the XLA path measured in the
+    # SAME session. The tunnel's dispatch floor wanders 0.39-2.0 ms between
+    # sessions (BENCH_NOTES §5), so the fused/XLA ratio — both paying the
+    # same floor — distinguishes code regressions from tunnel drift where a
+    # bare absolute number cannot.
+    anchor = measure(False) if fused else None
+    return primary, jax.devices()[0].platform, anchor
 
 
 def bench_ours_subprocess():
@@ -128,14 +138,15 @@ def bench_ours_subprocess():
                                  timeout=timeout, cwd=os.path.dirname(os.path.abspath(__file__)))
             for line in out.stdout.splitlines():
                 if line.startswith("OURS"):
-                    _, val, plat = line.split()
-                    return float(val), plat
+                    _, val, plat, anchor = line.split()
+                    return (float(val), plat,
+                            None if anchor == "None" else float(anchor))
             print(f"# ours ({platform or 'tpu'}) produced no result: "
                   f"{out.stdout[-200:]} {out.stderr[-500:]}", file=sys.stderr)
         except subprocess.TimeoutExpired:
             print(f"# ours ({platform or 'tpu'}) timed out after {timeout}s",
                   file=sys.stderr)
-    return None, None
+    return None, None, None
 
 
 def bench_reference_cpu(n_steps=3):
@@ -226,21 +237,28 @@ def bench_reference_cpu(n_steps=3):
 def main():
     if "--ours-only" in sys.argv:
         platform = "cpu" if "--cpu" in sys.argv else None
-        v, plat = bench_ours(platform)
-        print(f"OURS {v} {plat}")
+        v, plat, anchor = bench_ours(platform)
+        print(f"OURS {v} {plat} {anchor}")
         return
 
-    ours, platform = bench_ours_subprocess()
+    ours, platform, anchor = bench_ours_subprocess()
     ref = bench_reference_cpu()
     vs = (ours / ref) if (ours and ref) else None
-    print(json.dumps({
+    result = {
         "metric": f"latent-SDE logqp train steps/sec, backprop-through-solver "
                   f"(reference-default mode, batch {BATCH}, "
                   f"{platform or 'unavailable'} chip) vs torchsde-reference on host CPU",
         "value": round(ours, 3) if ours else 0.0,
         "unit": "steps/sec",
         "vs_baseline": round(vs, 2) if vs else None,
-    }))
+    }
+    if anchor:
+        # Within-run A/B: same session, same dispatch floor. fused_vs_xla is
+        # the drift-immune signal (~1.2 when healthy, BENCH_NOTES §1b); a
+        # headline drop WITHOUT a ratio drop is tunnel drift, not regression.
+        result["anchor"] = {"xla_path_steps_per_sec": round(anchor, 3),
+                            "fused_vs_xla": round(ours / anchor, 3)}
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
