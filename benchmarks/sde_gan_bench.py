@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def measure(batch, t_size, hidden, mlp_size, num_layers, n_steps=32,
-            platform=None, fused=False):
+            platform=None, fused=False, dtype="float32"):
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
@@ -37,16 +37,17 @@ def measure(batch, t_size, hidden, mlp_size, num_layers, n_steps=32,
                                  max(batch, 1024), t_size)
     ts = np.asarray(ts_dev)
 
+    jdt = jnp.dtype(dtype).type
     gen = G.Generator(jax.random.fold_in(key, 1), data_size=1,
                       initial_noise_size=5, noise_size=3, hidden_size=hidden,
-                      mlp_size=mlp_size, num_layers=num_layers)
+                      mlp_size=mlp_size, num_layers=num_layers, dtype=jdt)
     disc = G.Discriminator(jax.random.fold_in(key, 2), data_size=1,
                            hidden_size=hidden + 1, mlp_size=mlp_size,
-                           num_layers=num_layers)
+                           num_layers=num_layers, dtype=jdt)
     opt_g = optax.adadelta(2e-4)
     opt_d = optax.adadelta(1e-3)
 
-    batch_data = data[:batch]
+    batch_data = jnp.asarray(data[:batch], jdt)
 
     def train_step(state, step_idx):
         gen, disc, sg, sd = state
@@ -86,7 +87,7 @@ def measure(batch, t_size, hidden, mlp_size, num_layers, n_steps=32,
     float(losses[-1])
     sps = n_timed / (time.perf_counter() - t0)
     return dict(batch=batch, t_size=t_size, hidden=hidden, fused=fused,
-                steps_per_sec=round(sps, 2),
+                dtype=dtype, steps_per_sec=round(sps, 2),
                 samples_per_sec=round(sps * batch, 1),
                 device=jax.devices()[0].platform)
 
@@ -204,8 +205,11 @@ def main():
                      num_layers=1)):
         print(json.dumps(measure(platform=platform, **cfg)))
         if not args.cpu:
-            # Whole-solve Pallas kernels (ops/gan_fused.py), TPU only.
+            # Whole-solve Pallas kernels (ops/gan_fused.py), TPU only —
+            # f32 and bf16 mixed mode (VERDICT r2 item 6 A/B).
             print(json.dumps(measure(platform=platform, fused=True, **cfg)))
+            print(json.dumps(measure(platform=platform, fused=True,
+                                     dtype="bfloat16", **cfg)))
 
 
 if __name__ == "__main__":

@@ -174,3 +174,46 @@ def test_gen_solve_full_vjp_including_noise(setup):
         scale = max((float(jnp.max(jnp.abs(x)))
                      for x in jax.tree_util.tree_leaves(cr)), default=0.0)
         assert d <= max(1e-4, 1e-5 * max(scale, 1.0)), (name, d, scale)
+
+
+def test_bf16_mixed_mode_matches_xla_bf16():
+    """bf16 mixed-precision fused GAN kernels (VERDICT r2 item 6, the scheme
+    ported from latent_fused): bf16 weights/noise-streams/matmuls with f32
+    state carries and f32 gradient accumulators. The acceptance oracle is
+    the XLA path run at the SAME bf16 weights — the two share weight/noise
+    rounding, so they must agree closely even though both differ from f32
+    at bf16 scale."""
+    import math
+    key = jax.random.PRNGKey(0)
+    B, T = 8, 6
+    ts = np.linspace(0.0, T - 1, T)
+    gen = G.Generator(jax.random.fold_in(key, 2), 1, 5, 3, 16, 16, 1,
+                      dtype=jnp.bfloat16)
+    disc = G.Discriminator(jax.random.fold_in(key, 3), 1, 16, 16, 1,
+                           dtype=jnp.bfloat16)
+    _, data = G.get_ou_data(jax.random.fold_in(key, 1), B, T)
+    real = jnp.asarray(data[:B], jnp.bfloat16)
+    k = jax.random.fold_in(key, 4)
+
+    def run(fused):
+        loss, (gg, gd) = jax.value_and_grad(G.gan_loss, argnums=(0, 1))(
+            gen, disc, k, ts, real, 1.0, False, fused)
+        leaves = [jnp.asarray(x, jnp.float32)
+                  for x in jax.tree_util.tree_leaves((gg, gd))]
+        return float(loss), leaves, (gg, gd)
+
+    l_xla, g_xla, _ = run(False)
+    l_fus, g_fus, (gg_f, gd_f) = run(True)
+    # The Wasserstein loss is a mean-score DIFFERENCE near zero (massive
+    # cancellation), and the XLA oracle carries bf16 state while mixed mode
+    # carries f32 — so compare absolutely at the bf16 resolution of the O(1)
+    # critic scores, not relatively against the cancelled value.
+    assert abs(l_fus - l_xla) < 2e-2, (l_fus, l_xla)
+    num = sum(float(jnp.sum(a * b)) for a, b in zip(g_xla, g_fus))
+    na = math.sqrt(sum(float(jnp.sum(a * a)) for a in g_xla))
+    nb = math.sqrt(sum(float(jnp.sum(b * b)) for b in g_fus))
+    assert num / (na * nb) > 0.999, num / (na * nb)
+    # Cotangents keep the weights' dtype (custom_vjp contract after the f32
+    # accumulator cast-back).
+    for leaf in jax.tree_util.tree_leaves((gg_f, gd_f)):
+        assert leaf.dtype == jnp.bfloat16

@@ -87,26 +87,42 @@ def _pack_mlp2(mlp):
 def _tower_fwd(x_pad, W1, b1, W2, b2):
     """x_pad: (B,128) zero-padded input. Returns (out, pre1, a1): padded
     columns stay exactly zero (zero-padded weights, lipswish(0)=0,
-    tanh(0)=0)."""
-    pre1 = jnp.dot(x_pad, W1, preferred_element_type=jnp.float32) + b1
+    tanh(0)=0).
+
+    Mixed precision (same scheme as latent_fused._forward_core): matmul
+    INPUTS are cast to the weights' dtype (bf16 weights drive the MXU's bf16
+    path), accumulation and all pointwise math stay float32
+    (``preferred_element_type``). With f32 weights every cast is a no-op."""
+    cdt = W1.dtype
+    pre1 = jnp.dot(x_pad.astype(cdt), W1,
+                   preferred_element_type=jnp.float32) \
+        + b1.astype(jnp.float32)
     a1 = 0.909 * pre1 * jax.nn.sigmoid(pre1)
     out = jnp.tanh(
-        jnp.dot(a1, W2, preferred_element_type=jnp.float32) + b2)
+        jnp.dot(a1.astype(cdt), W2, preferred_element_type=jnp.float32)
+        + b2.astype(jnp.float32))
     return out, pre1, a1
 
 
 def _tower_bwd(dout, out, pre1, a1, x_pad, W1, W2, acc):
     """VJP of _tower_fwd. ``acc`` = (dW1, db1, dW2, db2) refs to accumulate
-    into. Returns the input cotangent (B,128)."""
+    into (always float32 — step-count += in bf16 would truncate badly; the
+    wrapper casts back to the weights' dtype at the custom_vjp boundary).
+    Returns the input cotangent (B,128) in float32."""
+    cdt = W1.dtype
     dpre2 = dout * (1.0 - out * out)
-    acc[2][...] += jnp.dot(a1.T, dpre2, preferred_element_type=jnp.float32)
+    acc[2][...] += jnp.dot(a1.astype(cdt).T, dpre2.astype(cdt),
+                           preferred_element_type=jnp.float32)
     acc[3][...] += jnp.sum(dpre2, axis=0, keepdims=True)
-    da1 = jnp.dot(dpre2, W2.T, preferred_element_type=jnp.float32)
+    da1 = jnp.dot(dpre2.astype(cdt), W2.T,
+                  preferred_element_type=jnp.float32)
     sig = jax.nn.sigmoid(pre1)
     dpre1 = da1 * (0.909 * (sig + pre1 * sig * (1.0 - sig)))
-    acc[0][...] += jnp.dot(x_pad.T, dpre1, preferred_element_type=jnp.float32)
+    acc[0][...] += jnp.dot(x_pad.astype(cdt).T, dpre1.astype(cdt),
+                           preferred_element_type=jnp.float32)
     acc[1][...] += jnp.sum(dpre1, axis=0, keepdims=True)
-    return jnp.dot(dpre1, W1.T, preferred_element_type=jnp.float32)
+    return jnp.dot(dpre1.astype(cdt), W1.T,
+                   preferred_element_type=jnp.float32)
 
 
 def _tpad(t, B, dtype):
@@ -149,7 +165,10 @@ def _gen_fwd_kernel(x0_ref, f0_ref, g0_ref, noise_ref, t1s_ref, dts_ref,
     B = x_s.shape[0]
     dt = dts_ref[n, 0]
     t1 = t1s_ref[n, 0]
-    dW = noise_ref[0]                                    # (B, m)
+    # Noise streams in the weights' dtype (halved HBM traffic in bf16 mixed
+    # mode, same stream a fully-bf16 XLA solve would draw); state math is
+    # the f32 carry dtype.
+    dW = noise_ref[0].astype(x_s.dtype)                  # (B, m)
     dWt = jnp.dot(dW, Tm_ref[...],
                   preferred_element_type=jnp.float32)    # (B, S*m)
     Sm = Sm_ref[...]
@@ -201,7 +220,7 @@ def _gen_bwd_kernel(zs_ref, noise_ref, ydot_ref, gnext_ref, gcur_ref,
     B = ay_s.shape[0]
     dt = dts_ref[r, 0]
     t1 = t1s_ref[r, 0]
-    dW = noise_ref[0]
+    dW = noise_ref[0].astype(ay_s.dtype)
     z1 = zs_ref[0]
     g1 = gnext_ref[0]                       # g_{n+1}, from the fwd stream
     g0 = gcur_ref[0]                        # g_n   (g0 input at the last iter)
@@ -227,8 +246,10 @@ def _gen_bwd_kernel(zs_ref, noise_ref, ydot_ref, gnext_ref, gcur_ref,
 
     Az = az_s[...] + dz_from
     AzE = jnp.dot(Az, Em, preferred_element_type=jnp.float32)
-    dnoise_ref[0] = jnp.dot(AzE * g0 + 0.5 * ayE * (g0 + g1), Tt,
-                            preferred_element_type=jnp.float32)[:, :M_noise]
+    dnoise_ref[0] = jnp.dot(
+        AzE * g0 + 0.5 * ayE * (g0 + g1), Tt,
+        preferred_element_type=jnp.float32)[:, :M_noise].astype(
+            dnoise_ref.dtype)
 
     ay_s[...] = ay + 2.0 * Az
     az_s[...] = -Az
@@ -295,9 +316,10 @@ def _gen_solve_bwd_impl(weights, x0, f0, g0, noise, t1s, dts, zs, gs, gy,
     step = lambda d: pl.BlockSpec((1, B, d), lambda i: (i, 0, 0),  # noqa: E731
                                   memory_space=pltpu.VMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    wshapes = [jax.ShapeDtypeStruct((_LANE, _LANE), x0.dtype)
-               if weights[k].ndim == 2 and weights[k].shape[0] == _LANE
-               else jax.ShapeDtypeStruct((1, _LANE), x0.dtype)
+    # Weight-gradient accumulators are float32 regardless of the weights'
+    # dtype (N steps of += in bf16 would truncate badly); cast back to the
+    # primal dtype after the kernel (custom_vjp cotangent-dtype contract).
+    wshapes = [jax.ShapeDtypeStruct(weights[k].shape, jnp.float32)
                for k in _GEN_WNAMES]
     out = pl.pallas_call(
         kernel,
@@ -312,7 +334,7 @@ def _gen_solve_bwd_impl(weights, x0, f0, g0, noise, t1s, dts, zs, gs, gy,
         out_shape=[jax.ShapeDtypeStruct((B, S), x0.dtype),
                    jax.ShapeDtypeStruct((B, S), x0.dtype),
                    jax.ShapeDtypeStruct((B, S * m), x0.dtype),
-                   jax.ShapeDtypeStruct((N, B, m), x0.dtype)] + wshapes,
+                   jax.ShapeDtypeStruct((N, B, m), noise.dtype)] + wshapes,
         scratch_shapes=[pltpu.VMEM((B, S), x0.dtype),
                         pltpu.VMEM((B, S), x0.dtype),
                         pltpu.VMEM((B, S), x0.dtype),
@@ -323,7 +345,8 @@ def _gen_solve_bwd_impl(weights, x0, f0, g0, noise, t1s, dts, zs, gs, gy,
       flip(t1s).reshape(-1, 1), flip(dts).reshape(-1, 1),
       *[weights[k] for k in _GEN_WNAMES], Tm, Em, Tt)
     dx0, df0, dg0, dnoise_f = out[0], out[1], out[2], out[3]
-    dweights = dict(zip(_GEN_WNAMES, out[4:12]))
+    dweights = {k: jnp.asarray(dw, weights[k].dtype)
+                for k, dw in zip(_GEN_WNAMES, out[4:12])}
     return dweights, dx0, df0, dg0, flip(dnoise_f)
 
 
@@ -362,20 +385,27 @@ def generator_solve_fused(func, x0, ts, key, dt):
     m = func.noise_size
     B = x0.shape[0]
     wdtype = func.drift.layers[0].w.dtype
-    x0 = jnp.asarray(x0, wdtype)
+    # Mixed precision (same scheme as latent_fused): bf16 weights drive the
+    # MXU's bf16 path and halve weight/stream HBM traffic, while the solver
+    # state carry and every accumulator stay float32.
+    sdtype = jnp.float32 if wdtype == jnp.bfloat16 else wdtype
+    x0 = jnp.asarray(x0, sdtype)
     ts_np = np.asarray(ts, np.float64)
     grid = integrate.build_step_grid(ts_np[0], ts_np[-1], dt)
     if len(grid) != len(ts_np) or not np.allclose(grid, ts_np, atol=1e-9):
         raise ValueError("fused generator solve requires the dt-grid to "
                          "coincide with ts (dt=1.0 on integer knots)")
     # sdeint's default-bm path samples with the BrownianInterval's _key,
-    # which is the key verbatim (brownian/interval.py:128).
+    # which is the key verbatim (brownian/interval.py:128). In bf16 mixed
+    # mode the stream is sampled in bf16 — the same stream a fully-bf16 XLA
+    # solve would draw (bm dtype follows y0) — and cast up inside the kernel.
     W, _, _ = integrate.sample_grid_noise(key, grid, (B, m), wdtype)
 
-    f0, g0 = func.f_and_g(jnp.asarray(ts_np[0], wdtype), x0)
-    g0flat = g0.reshape(B, S * m)
+    f0, g0 = func.f_and_g(jnp.asarray(ts_np[0], sdtype), x0)
+    f0 = jnp.asarray(f0, sdtype)
+    g0flat = jnp.asarray(g0.reshape(B, S * m), sdtype)
     weights = pack_gen_weights(func)
-    grid_dev = jnp.asarray(grid, wdtype)
+    grid_dev = jnp.asarray(grid, sdtype)
     t1s = grid_dev[1:]
     dts = grid_dev[1:] - grid_dev[:-1]  # f32 subtraction, = integrate_fixed
     ys = _gen_solve(weights, x0, f0, g0flat, W, t1s, dts)
@@ -405,7 +435,7 @@ def _cde_fwd_kernel(h0_ref, f0_ref, slopes_ref, t1s_ref, dts_ref,
     B = h_s.shape[0]
     dt = dts_ref[n, 0]
     t1 = t1s_ref[n, 0]
-    xd = slopes_ref[0]                                   # (B, C)
+    xd = slopes_ref[0].astype(h_s.dtype)                 # (B, C)
     xdt = jnp.dot(xd, Tc_ref[...], preferred_element_type=jnp.float32)
 
     h, z, f0 = h_s[...], z_s[...], f_s[...]
@@ -448,7 +478,7 @@ def _cde_bwd_kernel(zs_ref, slopes_ref, hdot_ref, t1s_ref, dts_ref,
     dt = dts_ref[r, 0]
     t1 = t1s_ref[r, 0]
     z1 = zs_ref[0]
-    xd = slopes_ref[0]
+    xd = slopes_ref[0].astype(ay_s.dtype)
     xdt = jnp.dot(xd, Tc_ref[...], preferred_element_type=jnp.float32)
 
     ay = ay_s[...] + hdot_ref[0]
@@ -463,8 +493,9 @@ def _cde_bwd_kernel(zs_ref, slopes_ref, hdot_ref, t1s_ref, dts_ref,
     # f1 = (F * xdt) @ Sc  =>  dF = (Af @ Ec) * xdt ; dxd = ((Af@Ec)*F) @ Tct
     AfE = jnp.dot(Af, Ec_ref[...], preferred_element_type=jnp.float32)
     dF = AfE * xdt
-    dslopes_ref[0] = jnp.dot(AfE * F, Tct_ref[...],
-                             preferred_element_type=jnp.float32)[:, :C]
+    dslopes_ref[0] = jnp.dot(
+        AfE * F, Tct_ref[...],
+        preferred_element_type=jnp.float32)[:, :C].astype(dslopes_ref.dtype)
 
     dFp = jnp.concatenate([dF, _zcols(B, _LANE - S * C, dtype)], axis=1)
     din = _tower_bwd(dFp, Fout, pre1, a1, zin, w["W1"], w["W2"], dw)
@@ -526,7 +557,9 @@ def _cde_solve_bwd_impl(weights, h0, f0, slopes, t1s, dts, zs, ghs,
     step = lambda d: pl.BlockSpec((1, B, d), lambda i: (i, 0, 0),  # noqa: E731
                                   memory_space=pltpu.VMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    wshapes = [jax.ShapeDtypeStruct(weights[k].shape, h0.dtype)
+    # f32 weight-gradient accumulators; cast back to the primal dtype after
+    # the kernel (custom_vjp cotangent-dtype contract).
+    wshapes = [jax.ShapeDtypeStruct(weights[k].shape, jnp.float32)
                for k in _CDE_WNAMES]
     out = pl.pallas_call(
         kernel,
@@ -538,7 +571,7 @@ def _cde_solve_bwd_impl(weights, h0, f0, slopes, t1s, dts, zs, ghs,
         out_specs=[full(S), full(S), step(C)] + [vmem] * 4,
         out_shape=[jax.ShapeDtypeStruct((B, S), h0.dtype),
                    jax.ShapeDtypeStruct((B, S), h0.dtype),
-                   jax.ShapeDtypeStruct((N, B, C), h0.dtype)] + wshapes,
+                   jax.ShapeDtypeStruct((N, B, C), slopes.dtype)] + wshapes,
         scratch_shapes=[pltpu.VMEM((B, S), h0.dtype),
                         pltpu.VMEM((B, S), h0.dtype),
                         pltpu.VMEM((B, S), h0.dtype)],
@@ -548,7 +581,8 @@ def _cde_solve_bwd_impl(weights, h0, f0, slopes, t1s, dts, zs, ghs,
       flip(t1s).reshape(-1, 1), flip(dts).reshape(-1, 1),
       *[weights[k] for k in _CDE_WNAMES], Tc, Ec, Tct)
     dh0, df0, dslopes_f = out[0], out[1], out[2]
-    dweights = dict(zip(_CDE_WNAMES, out[3:7]))
+    dweights = {k: jnp.asarray(dw, weights[k].dtype)
+                for k, dw in zip(_CDE_WNAMES, out[3:7])}
     return dweights, dh0, df0, flip(dslopes_f)
 
 
@@ -590,7 +624,9 @@ def cde_final_state_fused(func, h0, ts, dt):
 
     S = h0.shape[1]
     wdtype = func.func.layers[0].w.dtype
-    h0 = jnp.asarray(h0, wdtype)
+    # Mixed precision: bf16 weights, f32 state carry (see generator above).
+    sdtype = jnp.float32 if wdtype == jnp.bfloat16 else wdtype
+    h0 = jnp.asarray(h0, sdtype)
     ts_np = np.asarray(ts, np.float64)
     grid = integrate.build_step_grid(ts_np[0], ts_np[-1], dt)
     if len(grid) != len(ts_np) or not np.allclose(grid, ts_np, atol=1e-9):
@@ -609,16 +645,17 @@ def cde_final_state_fused(func, h0, ts, dt):
     # knot interval searchsorted(ts, t_k, 'right')-1 clipped to T-2
     # (models/sde_gan.py:121-127). Built with differentiable jnp ops so the
     # gather's transpose scatters dslopes back onto the path knots.
-    path = jnp.asarray(func._path_ys, wdtype)            # (B, T, C)
-    knot_dts = jnp.asarray(np.diff(ts_np), wdtype)       # (T-1,)
+    path = jnp.asarray(func._path_ys, sdtype)            # (B, T, C)
+    knot_dts = jnp.asarray(np.diff(ts_np), sdtype)       # (T-1,)
     slopes = ((path[:, 1:] - path[:, :-1])
               / knot_dts[None, :, None])                 # (B, T-1, C)
     idx = np.minimum(np.arange(1, N + 1), T - 2)         # evals 1..N
     slopes_eval = jnp.transpose(slopes, (1, 0, 2))[idx]  # (N, B, C)
 
-    f0 = func.f(jnp.asarray(ts_np[0], wdtype), h0)       # XLA, differentiable
+    f0 = jnp.asarray(func.f(jnp.asarray(ts_np[0], sdtype), h0),
+                     sdtype)                             # XLA, differentiable
     weights = dict(zip(_CDE_WNAMES, _pack_mlp2(func.func)))
-    grid_dev = jnp.asarray(grid, wdtype)
+    grid_dev = jnp.asarray(grid, sdtype)
     t1s = grid_dev[1:]
     dts = grid_dev[1:] - grid_dev[:-1]  # f32 subtraction, = integrate_fixed
     hs = _cde_solve(weights, h0, f0, slopes_eval, t1s, dts)
