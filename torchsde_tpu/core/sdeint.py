@@ -96,7 +96,8 @@ def sdeint(sde,
     del unused_kwargs
 
     sde, y0, ts, bm, method, options = check_contract(
-        sde, y0, ts, bm, method, adaptive, options, names, logqp, key, entropy)
+        sde, y0, ts, bm, method, adaptive, options, names, logqp, key, entropy,
+        dt_min=dt_min if adaptive else None)
 
     solver_cls = solvers.select(method=method, sde_type=sde.sde_type)
     bm_for_solver = None if isinstance(bm, _BMWrapper) else bm
@@ -260,8 +261,28 @@ def _integrate(solver, sde, y0, ts, bm, method, dt, adaptive, rtol, atol,
     return ys, extra_out, stats
 
 
+def adaptive_default_levels(t0, t1, dt_min, margin=2):
+    """Dyadic descent depth for a default-constructed adaptive-solve noise
+    source: the shallowest depth whose leaf width is at most ``dt_min / 2**
+    margin``, so every representable accepted step spans whole leaves, capped
+    at the float64-exact 52. Adaptive queries run one O(levels) traced
+    descent per unique endpoint per attempt (brownian/interval.py:437-447),
+    so depth is the dominant per-attempt cost: at the reference defaults
+    (span 2, dt_min 1e-5) this picks 20 instead of 52 — measured 2.6x
+    faster end-to-end with indistinguishable accuracy
+    (benchmarks/adaptive_bench.py, BENCH_NOTES adaptive section)."""
+    span = float(t1) - float(t0)
+    if not (span > 0.0 and dt_min > 0.0):
+        return _ADAPTIVE_LEVELS_CAP
+    levels = int(math.ceil(math.log2(span / float(dt_min)))) + margin
+    return max(0, min(_ADAPTIVE_LEVELS_CAP, levels))
+
+
+_ADAPTIVE_LEVELS_CAP = 52
+
+
 def check_contract(sde, y0, ts, bm, method, adaptive, options, names, logqp,
-                   key=None, entropy=None):
+                   key=None, entropy=None, dt_min=None):
     """Validate traits/shapes and fill in defaults (reference sdeint.py:115-281)."""
     if names is None:
         names_to_change = {}
@@ -434,10 +455,20 @@ def check_contract(sde, y0, ts, bm, method, adaptive, options, names, logqp,
             levy = LEVY_AREA_APPROXIMATIONS.foster
         else:
             levy = LEVY_AREA_APPROXIMATIONS.none
+        # Fixed-step solves never descend the default interval (the wrapper
+        # samples iid per-interval noise), so `levels` only matters for
+        # adaptive solves — where a dt_min-derived depth makes each traced
+        # per-attempt descent ~2.6x cheaper than the exact-split default
+        # with no accuracy change (see adaptive_default_levels).
+        # Callers pass dt_min only when some direction of the solve is
+        # adaptive (sdeint: adaptive; sdeint_adjoint: adaptive or
+        # adjoint_adaptive), so its presence is the gate.
+        levels = (adaptive_default_levels(ts[0], ts[-1], dt_min)
+                  if dt_min is not None else None)
         inner = BrownianInterval(t0=float(ts[0]), t1=float(ts[-1]),
                                  size=(batch_sizes[0], noise_sizes[0]),
                                  dtype=y0.dtype, entropy=entropy, key=key,
-                                 levy_area_approximation=levy)
+                                 levy_area_approximation=levy, levels=levels)
         bm = _BMWrapper(inner)
 
     options = {} if options is None else dict(options)
