@@ -11,6 +11,7 @@ Usage: python examples/sde_gan.py [--steps 200] [--cpu]
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -26,6 +27,10 @@ def main():
     p.add_argument("--hidden", type=int, default=16)
     p.add_argument("--mlp-size", type=int, default=16)
     p.add_argument("--num-layers", type=int, default=1)
+    p.add_argument("--init-mult1", type=float, default=3.0,
+                   help="initial-MLP parameter scale (reference sde_gan.py:347)")
+    p.add_argument("--init-mult2", type=float, default=0.5,
+                   help="vector-field parameter scale (reference sde_gan.py:348)")
     p.add_argument("--gen-lr", type=float, default=2e-4)
     p.add_argument("--disc-lr", type=float, default=1e-3)
     p.add_argument("--weight-decay", type=float, default=0.01)
@@ -58,7 +63,8 @@ def main():
     gen = G.Generator(jax.random.fold_in(key, 1), data_size=1,
                       initial_noise_size=args.init_noise,
                       noise_size=args.noise_size, hidden_size=args.hidden,
-                      mlp_size=args.mlp_size, num_layers=args.num_layers)
+                      mlp_size=args.mlp_size, num_layers=args.num_layers,
+                      init_mult1=args.init_mult1, init_mult2=args.init_mult2)
     disc = G.Discriminator(jax.random.fold_in(key, 2), data_size=1,
                            hidden_size=args.hidden + 1, mlp_size=args.mlp_size,
                            num_layers=args.num_layers)
@@ -69,9 +75,21 @@ def main():
                         optax.adadelta(args.disc_lr))
     sg, sd = opt_g.init(gen), opt_d.init(disc)
 
+    # ONE jitted computation per loop iteration: batch selection, the
+    # grad/update, weight clipping, and the SWA running average all live
+    # inside. Anything dispatched separately per step (fold_in, permutation,
+    # gather, 2x16 tree_map ops for SWA) pays the tunneled device's ~1-2 ms
+    # dispatch floor each, which capped the loop at ~7 steps/s; fused into
+    # one dispatch the loop runs at the benchmarked solve throughput.
+    swa_start = jnp.asarray(args.swa_step_start, jnp.int32)
+
     @jax.jit
-    def train_step(gen, disc, sg, sd, key, batch):
-        loss, g_gen, g_disc = G.gan_grads(gen, disc, key, ts, batch,
+    def train_step(gen, disc, sg, sd, avg, n_avg, step):
+        kb = jax.random.fold_in(key, 1000 + step)
+        kt = jax.random.fold_in(key, 2000 + step)
+        idx = jax.random.permutation(kb, args.dataset_size)[:args.batch]
+        batch = data[idx]
+        loss, g_gen, g_disc = G.gan_grads(gen, disc, kt, ts, batch,
                                           adjoint=not args.fused,
                                           fused=args.fused)
         ug, sg = opt_g.update(g_gen, sg, gen)
@@ -79,7 +97,15 @@ def main():
         ud, sd = opt_d.update(g_disc, sd, disc)
         disc = optax.apply_updates(disc, ud)
         disc = disc.clip_weights()
-        return gen, disc, sg, sd, loss
+        # Stochastic weight averaging (reference sde_gan.py:370-371,419-421):
+        # before swa_step_start track the live weights, after it fold them
+        # into the running average.
+        averaging = step >= swa_start
+        w = jnp.where(averaging, 1.0 / (n_avg + 1), 1.0)
+        avg = jax.tree_util.tree_map(
+            lambda a, b: (1 - w) * a + w * b, avg, (gen, disc))
+        n_avg = jnp.where(averaging, n_avg + 1, n_avg)
+        return gen, disc, sg, sd, avg, n_avg, loss
 
     from _evidence import JsonlLogger, artifact_path, save_acceptance
     logger = JsonlLogger(args.log_jsonl)
@@ -102,25 +128,15 @@ def main():
     ks0_mean, ks0_max = marginal_ks(gen, jax.random.fold_in(key, 555))
     print(f"initial marginal KS mean {ks0_mean:.4f} max {ks0_max:.4f}")
 
-    # Stochastic weight averaging (reference sde_gan.py:370-371, 419-421).
-    avg_gen, avg_disc, n_avg = gen, disc, 0
+    avg = (gen, disc)
+    n_avg = jnp.asarray(0, jnp.int32)
 
     log_every = max(1, args.steps // 200)
+    t_train = time.perf_counter()
     for step in range(args.steps):
-        idx = jax.random.permutation(jax.random.fold_in(key, 1000 + step),
-                                     args.dataset_size)[:args.batch]
-        batch = data[idx]
-        gen, disc, sg, sd, loss = train_step(
-            gen, disc, sg, sd, jax.random.fold_in(key, 2000 + step), batch)
-        if step >= args.swa_step_start:
-            w = 1.0 / (n_avg + 1)
-            avg_gen = jax.tree_util.tree_map(
-                lambda a, b: (1 - w) * a + w * b, avg_gen, gen)
-            avg_disc = jax.tree_util.tree_map(
-                lambda a, b: (1 - w) * a + w * b, avg_disc, disc)
-            n_avg += 1
-        else:
-            avg_gen, avg_disc = gen, disc
+        gen, disc, sg, sd, avg, n_avg, loss = train_step(
+            gen, disc, sg, sd, avg, n_avg, jnp.asarray(step, jnp.int32))
+        avg_gen, avg_disc = avg
         if step % log_every == 0 or step == args.steps - 1:
             rec = dict(step=step, loss=float(loss))
             if step % eval_every == 0 or step == args.steps - 1:
@@ -129,6 +145,10 @@ def main():
             logger.write(**rec)
         if step % max(1, args.steps // 10) == 0:
             print(f"step {step:4d} wasserstein loss {float(loss):9.4f}")
+    jax.block_until_ready(avg)
+    wall = time.perf_counter() - t_train
+    print(f"trained {args.steps} steps in {wall:.1f}s "
+          f"({args.steps / wall:.1f} steps/s incl. eval pauses)")
 
     fake = avg_gen(jax.random.fold_in(key, 9999), ts, 8)
     print("generated paths:", fake.shape,

@@ -76,7 +76,8 @@ class GeneratorFunc(Module):
 
 class Generator(Module):
     def __init__(self, key, data_size, initial_noise_size, noise_size,
-                 hidden_size, mlp_size, num_layers, dtype=jnp.float32):
+                 hidden_size, mlp_size, num_layers, dtype=jnp.float32,
+                 init_mult1=1.0, init_mult2=1.0):
         ks = jax.random.split(key, 3)
         self.initial = LipMLP(ks[0], initial_noise_size, hidden_size, mlp_size,
                               num_layers, tanh=False, dtype=dtype)
@@ -84,6 +85,17 @@ class Generator(Module):
                                   num_layers, dtype=dtype)
         self.readout = Linear(ks[2], hidden_size, data_size, dtype)
         self.initial_noise_size = initial_noise_size
+        # "Picking a good initialisation is important!" — the reference
+        # scales the initial MLP so the untrained t=0 distribution has
+        # roughly the data's variance, and shrinks the vector-field MLPs so
+        # the t>0 spread starts in the right ballpark (reference
+        # sde_gan.py:347-348, 376-383).
+        if init_mult1 != 1.0:
+            self.initial = jax.tree_util.tree_map(
+                lambda p: p * init_mult1, self.initial)
+        if init_mult2 != 1.0:
+            self.func = jax.tree_util.tree_map(
+                lambda p: p * init_mult2, self.func)
 
     def __call__(self, key, ts, batch_size, dt=1.0, adjoint=True,
                  fused=False):
