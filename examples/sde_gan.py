@@ -27,6 +27,10 @@ def main():
     p.add_argument("--hidden", type=int, default=16)
     p.add_argument("--mlp-size", type=int, default=16)
     p.add_argument("--num-layers", type=int, default=1)
+    p.add_argument("--drop-frac", type=float, default=0.0,
+                   help="fraction of observations dropped to NaN and filled "
+                        "by linear interpolation (reference uses 0.3, "
+                        "sde_gan.py:216-228)")
     p.add_argument("--init-mult1", type=float, default=3.0,
                    help="initial-MLP parameter scale (reference sde_gan.py:347)")
     p.add_argument("--init-mult2", type=float, default=0.5,
@@ -57,7 +61,7 @@ def main():
 
     key = jax.random.PRNGKey(0)
     ts_dev, data = G.get_ou_data(jax.random.fold_in(key, 0), args.dataset_size,
-                                 args.t_size)
+                                 args.t_size, drop_frac=args.drop_frac)
     ts = np.asarray(ts_dev)
 
     gen = G.Generator(jax.random.fold_in(key, 1), data_size=1,

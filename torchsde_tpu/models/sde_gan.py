@@ -20,6 +20,7 @@ TPU-first notes:
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .layers import Linear
 from ..core.adjoint import sdeint_adjoint
@@ -237,16 +238,71 @@ class _OU(Module):
         return jnp.broadcast_to(jnp.asarray(val, y.dtype), (y.shape[0], 1))[..., None]
 
 
-def get_ou_data(key, dataset_size, t_size, dt=1e-1):
-    """OU dataset with time channel, normalised by initial statistics."""
-    k1, k2 = jax.random.split(key)
+def linear_fill_nans(ts, ys):
+    """Fill NaN observations by linear interpolation between the nearest
+    observed knots (constant extension past the first/last observation) —
+    the NaN handling of torchcde.linear_interpolation_coeffs that the
+    reference's GAN relies on for irregular data
+    (/root/reference/examples/sde_gan.py:219-228, 246-248).
+
+    ``ts`` is ``(T,)``; ``ys`` is ``(..., T, C)`` with NaNs marking missing
+    observations. A channel with no observations at all fills with zeros.
+    """
+    ts = jnp.asarray(ts, ys.dtype)
+    T = ys.shape[-2]
+    obs = jnp.isfinite(ys)                                   # (..., T, C)
+    idx = jnp.arange(T)[:, None]                             # (T, 1)
+    # Nearest observed index at-or-before / at-or-after each position.
+    prev = lax.associative_scan(jnp.maximum,
+                                jnp.where(obs, idx, -1), axis=-2)
+    nxt = jnp.flip(lax.associative_scan(
+        jnp.minimum, jnp.flip(jnp.where(obs, idx, T), axis=-2), axis=-2),
+        axis=-2)
+    # Clip for safe gathers; the masks below decide what is actually used.
+    has_prev, has_next = prev >= 0, nxt <= T - 1
+    p = jnp.clip(prev, 0, T - 1)
+    n = jnp.clip(nxt, 0, T - 1)
+    ys0 = jnp.where(obs, ys, 0.0)
+    y_p = jnp.take_along_axis(ys0, p, axis=-2)
+    y_n = jnp.take_along_axis(ys0, n, axis=-2)
+    t_p = jnp.take(ts, p)
+    t_n = jnp.take(ts, n)
+    width = t_n - t_p
+    w = jnp.where(width > 0, (ts[:, None] - t_p) / jnp.where(width > 0, width, 1.0), 0.0)
+    interp = y_p * (1 - w) + y_n * w
+    both = jnp.logical_and(has_prev, has_next)
+    filled = jnp.where(both, interp,
+                       jnp.where(has_prev, y_p,
+                                 jnp.where(has_next, y_n, 0.0)))
+    return jnp.where(obs, ys, filled)
+
+
+def get_ou_data(key, dataset_size, t_size, dt=1e-1, drop_frac=0.0):
+    """OU dataset with time channel, normalised by initial statistics.
+
+    ``drop_frac > 0`` reproduces the reference's irregular-data demo: that
+    fraction of the observations is dropped (NaN) before normalisation, then
+    filled by linear interpolation for the CDE's knots — the reference drops
+    30% (/root/reference/examples/sde_gan.py:216-228)."""
+    k1, k2, k3 = jax.random.split(key, 3)
     ou = _OU(mu=0.02, theta=0.1, sigma=0.4, t_size=t_size)
     y0 = jax.random.uniform(k1, (dataset_size, 1)) * 2 - 1
     ts = jnp.linspace(0.0, t_size - 1, t_size)
     ys = sdeint(ou, y0, ts, dt=dt, method="euler", key=k2)   # (T, B, 1)
+    if drop_frac > 0.0:
+        drop = jax.random.bernoulli(k3, drop_frac, ys.shape)
+        ys = jnp.where(drop, jnp.nan, ys)
+    # Normalise w.r.t. the observed initial statistics, not the whole series
+    # (reference sde_gan.py:227-233).
     y0_flat = ys[0].reshape(-1)
-    ys = (ys - y0_flat.mean()) / y0_flat.std()
+    y0_obs = jnp.isfinite(y0_flat)
+    denom = jnp.maximum(y0_obs.sum(), 1)
+    mean = jnp.where(y0_obs, y0_flat, 0.0).sum() / denom
+    var = jnp.where(y0_obs, (y0_flat - mean) ** 2, 0.0).sum() / jnp.maximum(denom - 1, 1)
+    ys = (ys - mean) / jnp.sqrt(var)
     ys = jnp.transpose(ys, (1, 0, 2))                        # (B, T, 1)
+    if drop_frac > 0.0:
+        ys = linear_fill_nans(ts, ys)
     ts_chan = jnp.broadcast_to(ts[None, :, None], (dataset_size, t_size, 1))
     return ts, jnp.concatenate([ts_chan, ys], axis=2)
 
