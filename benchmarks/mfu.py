@@ -96,7 +96,7 @@ def build_latent(batch, dtype):
     return train_step, model, key
 
 
-def build_ddpm(batch, dtype, size=16, base_ch=32):
+def build_ddpm(batch, dtype, size=16, base_ch=32, ch_mults=(1, 2)):
     """cont-DDPM score-matching train step (examples/cont_ddpm.py config:
     16x16 blobs, base_ch 32, ch_mults (1, 2)) — conv/attention U-Net, the
     compute-bound workload (73.9 steps/s at b512 was diagnosed compute-bound
@@ -110,7 +110,7 @@ def build_ddpm(batch, dtype, size=16, base_ch=32):
     x = jax.random.uniform(jax.random.fold_in(key, 1),
                            (batch, 1, size, size), dtype) * 2 - 1
     denoiser = UNet(jax.random.fold_in(key, 2), in_ch=1, base_ch=base_ch,
-                    ch_mults=(1, 2), dtype=dtype)
+                    ch_mults=ch_mults, dtype=dtype)
     sde = ScoreMatchingSDE(denoiser, input_size=(1, size, size))
 
     def train_step(sde, key):
@@ -154,7 +154,20 @@ def build_gan(batch, dtype, t_size=32):
     return train_step, (gen, disc), key
 
 
-WORKLOADS = {"latent": build_latent, "ddpm": build_ddpm, "gan": build_gan}
+def build_ddpm28(batch, dtype):
+    """The BENCH_NOTES §1c headline DDPM config: 28x28 MNIST-scale images,
+    base 32, ch_mults (1, 2, 2)."""
+    return build_ddpm(batch, dtype, size=28, base_ch=32, ch_mults=(1, 2, 2))
+
+
+def build_gan64(batch, dtype):
+    """Reference-scale GAN: t_size 64 (reference sde_gan.py:440 scale; the
+    plain 'gan' workload is the t_size=32 smoke shape)."""
+    return build_gan(batch, dtype, t_size=64)
+
+
+WORKLOADS = {"latent": build_latent, "ddpm": build_ddpm,
+             "ddpm28": build_ddpm28, "gan": build_gan, "gan64": build_gan64}
 
 
 def measure(workload, batch, dtype_name, n_steps=16, platform=None):
@@ -209,7 +222,10 @@ CONFIGS = {
                (1024, "bfloat16"), (16384, "bfloat16")],
     "ddpm": [(128, "float32"), (512, "float32"),
              (128, "bfloat16"), (512, "bfloat16")],
+    "ddpm28": [(128, "float32"), (512, "float32"),
+               (128, "bfloat16"), (512, "bfloat16")],
     "gan": [(1024, "float32"), (1024, "bfloat16")],
+    "gan64": [(1024, "float32"), (1024, "bfloat16")],
 }
 
 
