@@ -160,6 +160,15 @@ def build_ddpm28(batch, dtype):
     return build_ddpm(batch, dtype, size=28, base_ch=32, ch_mults=(1, 2, 2))
 
 
+def build_ddpmXL(batch, dtype):
+    """The reference example's own U-Net scale (cont_ddpm.py:305-309: hidden
+    64, dim_mults (1,2,4)) — 4x the channel widths of the ddpm28 headline, so
+    the conv GEMMs run at 0.5-1.0 MXU lane occupancy instead of 0.19-0.5
+    (benchmarks/ddpm_roofline.py). Shows what MFU this framework reaches when
+    the model's shapes stop capping the MXU."""
+    return build_ddpm(batch, dtype, size=28, base_ch=64, ch_mults=(1, 2, 4))
+
+
 def build_gan64(batch, dtype):
     """Reference-scale GAN: t_size 64 (reference sde_gan.py:440 scale; the
     plain 'gan' workload is the t_size=32 smoke shape)."""
@@ -167,7 +176,8 @@ def build_gan64(batch, dtype):
 
 
 WORKLOADS = {"latent": build_latent, "ddpm": build_ddpm,
-             "ddpm28": build_ddpm28, "gan": build_gan, "gan64": build_gan64}
+             "ddpm28": build_ddpm28, "ddpmXL": build_ddpmXL,
+             "gan": build_gan, "gan64": build_gan64}
 
 
 def measure(workload, batch, dtype_name, n_steps=16, platform=None):
@@ -224,6 +234,7 @@ CONFIGS = {
              (128, "bfloat16"), (512, "bfloat16")],
     "ddpm28": [(128, "float32"), (512, "float32"),
                (128, "bfloat16"), (512, "bfloat16")],
+    "ddpmXL": [(256, "float32"), (256, "bfloat16"), (512, "bfloat16")],
     "gan": [(1024, "float32"), (1024, "bfloat16")],
     "gan64": [(1024, "float32"), (1024, "bfloat16")],
 }
