@@ -54,3 +54,31 @@ def test_latent_model_bf16_step():
     loss, grads = jax.value_and_grad(lf)(model)
     assert bool(jnp.isfinite(loss))
     assert grads.projector.w.dtype == jnp.bfloat16
+
+
+def test_ddpm_bf16_loss_and_samplers():
+    """A bf16 U-Net must train and sample through BOTH samplers: the VP-SDE's
+    time coefficients are f32 scalars, so sampler state promotes after one
+    step — `score` must feed the denoiser its own param dtype regardless
+    (regression: benchmarks/sampling_bench.py first hit this in ode_sample)."""
+    from torchsde_tpu.models.cont_ddpm import (ReverseDiffeqWrapper,
+                                               ScoreMatchingSDE)
+    from torchsde_tpu.models.unet import UNet
+
+    key = jax.random.PRNGKey(0)
+    denoiser = UNet(key, in_ch=1, base_ch=8, ch_mults=(1, 2),
+                    dtype=jnp.bfloat16)
+    sde = ScoreMatchingSDE(denoiser, input_size=(1, 8, 8))
+    x = jnp.zeros((2, 1, 8, 8), jnp.bfloat16)
+
+    loss = jnp.mean(sde.loss(jax.random.fold_in(key, 1), x))
+    assert bool(jnp.isfinite(loss.astype(jnp.float32)))
+
+    rev = ReverseDiffeqWrapper(sde)
+    samp_sde = rev.sde_sample_final(jax.random.fold_in(key, 2), batch_size=2,
+                                    dt=0.5)
+    samp_ode = rev.ode_sample(batch_size=2, dt=0.5,
+                              key=jax.random.fold_in(key, 3))
+    for s in (samp_sde, samp_ode):
+        assert s.dtype == jnp.bfloat16
+        assert bool(jnp.all(jnp.isfinite(s.astype(jnp.float32))))

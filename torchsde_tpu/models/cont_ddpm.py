@@ -37,8 +37,14 @@ class ScoreMatchingSDE(Module):
         self.beta_min, self.beta_max = beta_min, beta_max
 
     def score(self, t, y):
-        t = jnp.broadcast_to(jnp.asarray(t, y.dtype), (y.shape[0],))
-        return self.denoiser(t, y)
+        """Dtype-preserving on ``y``: the denoiser runs in its own parameter
+        dtype (bf16 nets see bf16 inputs even when the sampler integrates its
+        state in f32 — the VP-SDE's time coefficients are f32 scalars, so
+        bf16 states promote after one solver step), and the score is cast
+        back to ``y``'s dtype. All casts are no-ops when dtypes agree."""
+        param_dtype = jax.tree_util.tree_leaves(self.denoiser)[0].dtype
+        t = jnp.broadcast_to(jnp.asarray(t, param_dtype), (y.shape[0],))
+        return self.denoiser(t, y.astype(param_dtype)).astype(y.dtype)
 
     def _beta(self, t):
         return self.beta_min + t * (self.beta_max - self.beta_min)
@@ -160,9 +166,16 @@ class ReverseDiffeqWrapper(Module):
         if y is None:
             y = self.module.sample_t1_marginal(key, batch_size, tau)
         shape = y.shape
-        y = y.reshape(shape[0], -1)
+        out_dtype = y.dtype
+        # Integrate the ODE state in >= f32 (RK4 state arithmetic in bf16
+        # loses the increments); the denoiser still runs in its own dtype
+        # via the dtype-preserving `score`.
+        y = y.reshape(shape[0], -1).astype(jnp.promote_types(y.dtype,
+                                                             jnp.float32))
         n = int(round((self.t1 - self.t0) / dt))
-        t_grid = jnp.linspace(-self.t1, -self.t0, n + 1)
+        # Grid in the state dtype: under x64 a default-f64 grid would promote
+        # the scan carry mid-body and break the carry-type invariant.
+        t_grid = jnp.linspace(-self.t1, -self.t0, n + 1, dtype=y.dtype)
 
         def rk4_step(y, i):
             t = t_grid[i]
@@ -174,7 +187,7 @@ class ReverseDiffeqWrapper(Module):
             return y + (h / 6) * (k1 + 2 * k2 + 2 * k3 + k4), None
 
         y, _ = jax.lax.scan(rk4_step, y, jnp.arange(n))
-        return y.reshape(shape)
+        return y.reshape(shape).astype(out_dtype)
 
     def tweedie_correction(self, t, y, dt):
         """Final denoising jump (reference cont_ddpm.py:220-223)."""
