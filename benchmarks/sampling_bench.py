@@ -132,10 +132,41 @@ def bench_ddpm_reference_cpu(batch=64, dt=1e-2, n_iters=2):
     --ref only."""
     try:
         import importlib.util
+        import types
 
         import benchmarks._trampoline_shim  # noqa: F401
         sys.path.insert(0, "/root/reference")
         import torch
+
+        # The reference example imports CLI/data libs we neither have nor
+        # need for the sampling path (fire/torchvision: main() only;
+        # torchdiffeq: ode_sample only — we time sde_sample). Stub them so
+        # the module imports.
+        for name in ("fire", "torchdiffeq", "torchvision", "tqdm"):
+            if name not in sys.modules:
+                try:
+                    __import__(name)
+                except ImportError:
+                    sys.modules[name] = types.ModuleType(name)
+        try:
+            import kornia  # noqa: F401
+        except ImportError:
+            # The reference U-Net's anti-aliased up/downsampling calls
+            # kornia.filter2D in its forward pass; reproduce it (normalized
+            # depthwise 2-D filter, same padding) so timings are faithful.
+            def _filter2d(x, kernel, normalized=False):
+                import torch.nn.functional as F
+                k = kernel if kernel.dim() == 4 else kernel[:, None]
+                if normalized:
+                    k = k / k.sum()
+                C = x.shape[1]
+                k = k.expand(C, 1, *k.shape[-2:])
+                pad = (k.shape[-2] // 2, k.shape[-1] // 2)
+                return F.conv2d(x, k, padding=pad, groups=C)
+
+            kornia_stub = types.ModuleType("kornia")
+            kornia_stub.filter2D = _filter2d
+            sys.modules["kornia"] = kornia_stub
 
         # Load the reference examples as an explicit package: our repo has its
         # own `examples/` directory, so a bare `import examples` is ambiguous.
