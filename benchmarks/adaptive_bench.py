@@ -69,6 +69,10 @@ def main():
     p.add_argument("--quick", action="store_true")
     p.add_argument("--with-reference", action="store_true",
                    help="also time torchsde from /root/reference on host CPU")
+    p.add_argument("--grad", action="store_true",
+                   help="gradient-path rows: backprop through the adaptive "
+                        "solve, adjoint with adaptive forward, and adaptive "
+                        "adjoint backward, against same-work fixed-step")
     p.add_argument("--json", type=str, default=None)
     args = p.parse_args()
 
@@ -160,6 +164,67 @@ def main():
             err_s = f"rms {err:.2e}" if err is not None else ""
             print(f"{label:36s} {wall*1e3:9.2f} ms/solve  "
                   f"({n_steps} steps) {err_s}")
+
+    if args.grad:
+        # ------- gradient-path rows (round 3 close-out) -------------------
+        # All rows: d(sum ys)/d(y0), explicit bm at levels=dt_min so noise
+        # work matches the forward tables above. "same-work fixed" uses the
+        # adaptive run's accepted count from the stats pass.
+        lv = dt_min_levels(span, DT_MIN)
+        for method, levy in (("srk", "space-time"), ("milstein", "none")):
+            bm = make_bm(levy, lv)
+            _, stats = jax.jit(lambda y, bm=bm: tsde.sdeint(
+                sde, y, ts, bm=bm, method=method, dt=DT0, adaptive=True,
+                rtol=RTOL, atol=ATOL, dt_min=DT_MIN, return_stats=True))(y0)
+            n_acc = max(int(stats["n_accepted"]), 1)
+            dt_same = span / n_acc
+            print(f"\n## {method} gradient rows (n_accepted {n_acc})")
+
+            def grad_of(solve):
+                return jax.jit(jax.grad(lambda y: jnp.sum(solve(y))))
+
+            cases = [
+                ("bp through adaptive solve", grad_of(
+                    lambda y: tsde.sdeint(sde, y, ts, bm=bm, method=method,
+                                          dt=DT0, adaptive=True, rtol=RTOL,
+                                          atol=ATOL, dt_min=DT_MIN))),
+                ("bp adaptive, max_steps=4*n_acc", grad_of(
+                    lambda y: tsde.sdeint(sde, y, ts, bm=bm, method=method,
+                                          dt=DT0, adaptive=True, rtol=RTOL,
+                                          atol=ATOL, dt_min=DT_MIN,
+                                          max_steps=4 * n_acc))),
+                ("adjoint, adaptive forward", grad_of(
+                    lambda y: tsde.sdeint_adjoint(
+                        sde, y, ts, bm=bm, method=method, dt=DT0,
+                        adaptive=True, rtol=RTOL, atol=ATOL,
+                        dt_min=DT_MIN))),
+                ("adjoint, fixed fwd + adaptive bwd", grad_of(
+                    lambda y: tsde.sdeint_adjoint(
+                        sde, y, ts, bm=bm, method=method, dt=dt_same,
+                        adjoint_adaptive=True, adjoint_rtol=RTOL,
+                        adjoint_atol=ATOL))),
+                ("bp fixed same-work", grad_of(
+                    lambda y: tsde.sdeint(sde, y, ts, bm=bm, method=method,
+                                          dt=dt_same))),
+                ("adjoint fixed same-work", grad_of(
+                    lambda y: tsde.sdeint_adjoint(sde, y, ts, bm=bm,
+                                                  method=method,
+                                                  dt=dt_same))),
+            ]
+            for label, fn in cases:
+                try:
+                    wall = timed(lambda: fn(y0), args.reps)
+                except Exception as e:  # a mode unsupported for this method
+                    print(f"{label:36s} unavailable: {type(e).__name__}: "
+                          f"{str(e)[:120]}")
+                    continue
+                g = fn(y0)
+                finite = bool(jnp.all(jnp.isfinite(g)))
+                rows.append(dict(method=method, row=f"grad: {label}",
+                                 wall_ms=wall * 1e3, n_accepted=n_acc,
+                                 grad_finite=finite))
+                print(f"{label:36s} {wall*1e3:9.2f} ms/grad-solve  "
+                      f"finite={finite}")
 
     if args.with_reference:
         rows.extend(bench_reference(args, ts))
