@@ -44,20 +44,30 @@ RTOL, ATOL, DT_MIN = 1e-5, 1e-4, 1e-5
 D = 3               # diagnostics/run_all.py default problem width
 
 
-def dt_min_levels(span, dt_min, margin=2):
-    """Shallowest dyadic depth whose leaf width still separates step
-    endpoints >= dt_min apart, plus a safety margin."""
-    return min(52, int(math.ceil(math.log2(span / dt_min))) + margin)
+def dt_min_levels(span, dt_min):
+    """The solver's OWN default descent depth — reuse the library formula so
+    the 'levels=dt_min' row always measures what `sdeint` actually picks."""
+    from torchsde_tpu.core.sdeint import adaptive_default_levels
+    return adaptive_default_levels(0.0, span, dt_min)
+
+
+def _drain(out):
+    """Force completion of queued device work: fetch one scalar (on the async
+    tunnel backend, block_until_ready alone does not guarantee the wait)."""
+    import jax
+    import jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(jnp.ravel(leaf)[:1]))
 
 
 def timed(fn, reps):
-    import jax
-    fn()  # compile + warm
-    fn()
+    _drain(fn())  # compile + warm, fully drained
+    _drain(fn())  # steady-state warm, drained so the timed window is clean
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn()
-    jax.block_until_ready(out)
+    # device queues are in-order: draining the last rep drains them all
+    _drain(out)
     return (time.perf_counter() - t0) / reps
 
 

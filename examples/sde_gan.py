@@ -141,9 +141,12 @@ def main():
         gen, disc, sg, sd, avg, n_avg, loss = train_step(
             gen, disc, sg, sd, avg, n_avg, jnp.asarray(step, jnp.int32))
         avg_gen, avg_disc = avg
-        if step % log_every == 0 or step == args.steps - 1:
+        # eval cadence is independent of the log cadence (an eval step always
+        # writes a record, even off the log grid)
+        do_eval = step % eval_every == 0 or step == args.steps - 1
+        if do_eval or step % log_every == 0 or step == args.steps - 1:
             rec = dict(step=step, loss=float(loss))
-            if step % eval_every == 0 or step == args.steps - 1:
+            if do_eval:
                 rec["ks_mean"], rec["ks_max"] = marginal_ks(
                     avg_gen, jax.random.fold_in(key, 3000 + step))
             logger.write(**rec)

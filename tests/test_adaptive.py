@@ -509,3 +509,59 @@ def test_adaptive_default_bm_solve_accuracy_unchanged():
     ys = tsde.sdeint(sde, y0, ts, method="milstein", dt=0.05, adaptive=True,
                      rtol=1e-6, atol=1e-7, entropy=11)
     assert np.isfinite(np.asarray(ys)).all()
+
+
+def test_adjoint_adaptive_duck_typed_bm():
+    """Regression: the adaptive adjoint backward wraps the user's sampler in
+    ReverseBrownian; its shared-descent ``query_pairs`` must fall back to
+    per-pair calls for duck-typed samplers that only implement ``__call__``
+    (e.g. PrecomputedBrownian or custom BaseBrownian subclasses) instead of
+    delegating into a missing method."""
+    from torchsde_tpu.brownian import base as bbase
+
+    sde, y0, ts, bm = _diag_problem()
+
+    class CallOnly(bbase.BaseBrownian):
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __call__(self, ta, tb=None, return_U=False, return_A=False):
+            return self._inner(ta, tb, return_U=return_U, return_A=return_A)
+
+        @property
+        def dtype(self):
+            return self._inner.dtype
+
+        @property
+        def shape(self):
+            return self._inner.shape
+
+        @property
+        def t0(self):
+            return self._inner.t0
+
+        @property
+        def t1(self):
+            return self._inner.t1
+
+        @property
+        def levy_area_approximation(self):
+            return self._inner.levy_area_approximation
+
+    assert not hasattr(CallOnly(bm), "query_pairs")
+
+    def loss(s, brownian):
+        ys = tsde.sdeint_adjoint(s, y0, ts, bm=brownian, method="milstein",
+                                 dt=0.05, adjoint_adaptive=True,
+                                 adjoint_rtol=1e-6, adjoint_atol=1e-8)
+        return jnp.mean(ys ** 2)
+
+    g_duck = jax.grad(loss)(sde, CallOnly(bm))
+    g_full = jax.grad(loss)(sde, bm)
+    for name in ("a", "b"):
+        gd = np.asarray(getattr(g_duck, name))
+        gf = np.asarray(getattr(g_full, name))
+        assert np.isfinite(gd).all()
+        # same underlying noise cells -> identical up to fp reassociation
+        assert np.abs(gd - gf).max() <= 1e-9 * max(1.0, np.abs(gf).max()), \
+            (name, gd, gf)

@@ -40,7 +40,16 @@ class ReverseBrownian(base.BaseBrownian):
     def query_pairs(self, points, pairs, return_U=False, return_A=False):
         """Shared-descent multi-pair query: ``rev`` interval
         ``(points[ia], points[ib])`` is forward interval ``(-tb, -ta)``, so
-        negate the points and swap each pair's indices."""
+        negate the points and swap each pair's indices. Duck-typed bases
+        without ``query_pairs`` (PrecomputedBrownian, custom samplers) fall
+        back to per-pair calls — same results, one descent per pair."""
+        if not hasattr(self.base_brownian, "query_pairs"):
+            points = jnp.asarray(points)
+            outs = []
+            for ia, ib in pairs:
+                outs.append(self(points[ia], points[ib],
+                                 return_U=return_U, return_A=return_A))
+            return outs
         return self.base_brownian.query_pairs(
             -jnp.asarray(points), [(ib, ia) for ia, ib in pairs],
             return_U=return_U, return_A=return_A)
