@@ -38,8 +38,7 @@ def _measure(fn, key_base, n_iters):
     import jax.numpy as jnp
 
     out = fn(key_base)
-    jnp.sum(jax.tree_util.tree_leaves(out)[0]).block_until_ready()
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))  # force (async backend)
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))  # drain (async backend)
     t0 = time.perf_counter()
     acc = 0.0
     for i in range(n_iters):

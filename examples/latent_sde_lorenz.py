@@ -111,7 +111,8 @@ def main():
     print("posterior samples:", samples.shape,
           "finite:", bool(jnp.all(jnp.isfinite(samples))))
 
-    mse1 = recon_mse(model, jax.random.fold_in(key, 999))
+    # same model/key/inputs as `samples` above — reuse instead of re-solving
+    mse1 = float(jnp.mean((samples - xs) ** 2))
     # Acceptance: the trained posterior reconstructs the (unit-variance
     # normalised) Lorenz paths far better than the untrained model — below
     # an absolute 0.15 data-variance units AND at least 4x under the

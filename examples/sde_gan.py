@@ -87,10 +87,18 @@ def main():
     # one dispatch the loop runs at the benchmarked solve throughput.
     swa_start = jnp.asarray(args.swa_step_start, jnp.int32)
 
+    # Disjoint per-purpose PRNG streams: numeric-offset folds of one key
+    # (1000+step / 2000+step / 3000+step) collide across purposes once
+    # step > 1000 — e.g. the eval key at step s would equal the training
+    # noise key at step s+1000, correlating the KS metric with training.
+    k_perm = jax.random.fold_in(key, 17)
+    k_noise = jax.random.fold_in(key, 18)
+    k_eval = jax.random.fold_in(key, 19)
+
     @jax.jit
     def train_step(gen, disc, sg, sd, avg, n_avg, step):
-        kb = jax.random.fold_in(key, 1000 + step)
-        kt = jax.random.fold_in(key, 2000 + step)
+        kb = jax.random.fold_in(k_perm, step)
+        kt = jax.random.fold_in(k_noise, step)
         idx = jax.random.permutation(kb, args.dataset_size)[:args.batch]
         batch = data[idx]
         loss, g_gen, g_disc = G.gan_grads(gen, disc, kt, ts, batch,
@@ -148,7 +156,7 @@ def main():
             rec = dict(step=step, loss=float(loss))
             if do_eval:
                 rec["ks_mean"], rec["ks_max"] = marginal_ks(
-                    avg_gen, jax.random.fold_in(key, 3000 + step))
+                    avg_gen, jax.random.fold_in(k_eval, step))
             logger.write(**rec)
         if step % max(1, args.steps // 10) == 0:
             print(f"step {step:4d} wasserstein loss {float(loss):9.4f}")

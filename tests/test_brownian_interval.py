@@ -463,3 +463,17 @@ def test_query_pairs_bitwise_matches_call(levy_area_approximation):
         want_leaves = want if isinstance(want, tuple) else (want,)
         for gl, wl in zip(got_leaves, want_leaves):
             assert bool(jnp.all(gl == wl)), ("rev", ia, ib)
+
+
+def test_query_pairs_inverted_pair_clamps_to_zero():
+    """A pair violating points[ia] <= points[ib] returns the degenerate zero
+    result (matching __call__'s tb = max(ta, tb) clamp), never sign-flipped
+    statistics."""
+    bm = tsde.BrownianInterval(0.0, 1.0, (4, D), dtype=jnp.float64, entropy=5,
+                               levels=24,
+                               levy_area_approximation="space-time")
+    pts = jnp.asarray([0.2, 0.6], jnp.float64)
+    (W_fwd, U_fwd), (W_inv, U_inv) = bm.query_pairs(
+        pts, ((0, 1), (1, 0)), return_U=True)
+    assert float(jnp.abs(W_fwd).max()) > 0           # sanity: real increment
+    assert bool(jnp.all(W_inv == 0)) and bool(jnp.all(U_inv == 0))

@@ -502,7 +502,10 @@ class BrownianInterval(base.BaseBrownian):
             w_a, i_a = w_prefs[ia], i_prefs[ia]
             w_b, i_b = w_prefs[ib], i_prefs[ib]
             h = (starts[ib] - starts[ia]).astype(dtype)
-            degenerate = starts[ib] == starts[ia]
+            # <= (not ==): an inverted pair clamps to the degenerate zero
+            # result, matching __call__'s tb = max(ta, tb) semantics rather
+            # than returning sign-flipped statistics
+            degenerate = starts[ib] <= starts[ia]
             W = w_b - w_a
             H = None
             if self._have_H:

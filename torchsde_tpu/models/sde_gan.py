@@ -299,7 +299,9 @@ def get_ou_data(key, dataset_size, t_size, dt=1e-1, drop_frac=0.0):
     denom = jnp.maximum(y0_obs.sum(), 1)
     mean = jnp.where(y0_obs, y0_flat, 0.0).sum() / denom
     var = jnp.where(y0_obs, (y0_flat - mean) ** 2, 0.0).sum() / jnp.maximum(denom - 1, 1)
-    ys = (ys - mean) / jnp.sqrt(var)
+    # guard: a single surviving observation gives var 0 -> would NaN the
+    # whole dataset silently
+    ys = (ys - mean) / jnp.sqrt(jnp.maximum(var, 1e-12))
     ys = jnp.transpose(ys, (1, 0, 2))                        # (B, T, 1)
     if drop_frac > 0.0:
         ys = linear_fill_nans(ts, ys)
