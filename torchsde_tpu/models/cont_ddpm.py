@@ -41,7 +41,11 @@ class ScoreMatchingSDE(Module):
         dtype (bf16 nets see bf16 inputs even when the sampler integrates its
         state in f32 — the VP-SDE's time coefficients are f32 scalars, so
         bf16 states promote after one solver step), and the score is cast
-        back to ``y``'s dtype. All casts are no-ops when dtypes agree."""
+        back to ``y``'s dtype. All casts are no-ops when dtypes agree.
+
+        The compute dtype is inferred from the denoiser's first pytree leaf —
+        correct for homogeneous-dtype networks (all models in this repo); a
+        custom denoiser mixing parameter dtypes should cast inputs itself."""
         param_dtype = jax.tree_util.tree_leaves(self.denoiser)[0].dtype
         t = jnp.broadcast_to(jnp.asarray(t, param_dtype), (y.shape[0],))
         return self.denoiser(t, y.astype(param_dtype)).astype(y.dtype)
