@@ -78,7 +78,7 @@ def bench_ddpm(dtype_name, batch, n_iters=8, dt=1e-2):
     return rows
 
 
-def bench_gan(dtype_name, batch=1024, t_size=64, n_iters=32):
+def bench_gan(dtype_name, batch=1024, t_size=64, n_iters=32, paths=None):
     """Generator path synthesis at reference scale (sde_gan.py:440):
     reversible-Heun solve, dt=1 over t_size grid points."""
     import jax
@@ -95,7 +95,9 @@ def bench_gan(dtype_name, batch=1024, t_size=64, n_iters=32):
 
     rows = []
     on_tpu = jax.devices()[0].platform == "tpu"
-    for path, fused in (("xla", False),) + ((("fused", True),) if on_tpu else ()):
+    if paths is None:
+        paths = (("xla", False),) + ((("fused", True),) if on_tpu else ())
+    for path, fused in paths:
         fn = jax.jit(lambda k, f=fused: gen(k, ts, batch, dt=1.0,
                                             adjoint=False, fused=f))
         sps = _measure(fn, key, n_iters)
@@ -206,6 +208,31 @@ def bench_ddpm_reference_cpu(batch=64, dt=1e-2, n_iters=2):
         return []
 
 
+def scale_sweep(workload):
+    """Batch-scaling sweep: §13's table fixes the serving batch at the
+    training configs' sizes, which for the latency-bound families (GAN,
+    latent) leaves most of the chip idle. Sweep the batch upward (at each
+    family's recommended serving dtype/path from §13) until samples/s
+    saturates — the committed peak is the honest 'one chip serves N/s'
+    number."""
+    rows = []
+    if workload in ("gan", "all"):
+        # §13 recommendation: XLA f32 path for forward-only generation.
+        for batch in (1024, 4096, 16384, 65536, 262144):
+            rows += bench_gan("float32", batch=batch,
+                              n_iters=max(4, 32768 // max(1, batch // 32)),
+                              paths=(("xla", False),))
+    if workload in ("latent", "all"):
+        for batch in (1024, 4096, 16384, 65536, 262144):
+            rows += bench_latent("bfloat16", batch=batch,
+                                 n_iters=max(4, 32768 // max(1, batch // 32)))
+    if workload in ("ddpm", "all"):
+        # Already compute-bound at 512 (§13 reading 1) — confirm the knee.
+        for batch in (512, 1024, 2048):
+            rows += bench_ddpm("bfloat16", batch, n_iters=4)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -215,6 +242,8 @@ def main():
                     help="include reference-torchsde-on-CPU DDPM row (slow)")
     ap.add_argument("--quick", action="store_true",
                     help="tiny shapes / few iters (CPU smoke run)")
+    ap.add_argument("--scale", action="store_true",
+                    help="batch-scaling sweep to the per-chip serving peak")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -223,6 +252,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     rows = []
+    if args.scale:
+        rows = scale_sweep(args.workload)
+        _report(rows, args.json)
+        return
     if args.quick:
         if args.workload in ("ddpm", "all"):
             rows += bench_ddpm("float32", batch=8, n_iters=2, dt=0.1)
@@ -244,7 +277,10 @@ def main():
                 rows += bench_latent(dt_name)
     if args.ref:
         rows += bench_ddpm_reference_cpu()
+    _report(rows, args.json)
 
+
+def _report(rows, json_path):
     for r in rows:
         print(json.dumps(r))
     print()
@@ -254,8 +290,8 @@ def main():
         print(f"| {r['workload']} | {r['sampler']} | {r['batch']} | "
               f"{r['dtype']} | {r['n_solver_steps']} | {r['batches_per_sec']} "
               f"| {r['samples_per_sec']} |")
-    if args.json:
-        with open(args.json, "w") as f:
+    if json_path:
+        with open(json_path, "w") as f:
             json.dump(rows, f, indent=1)
 
 
