@@ -73,7 +73,8 @@ def record_shapes(batch, size, base_ch, ch_mults):
         B, H, W, Cin = x.shape
         Cout = self.w.shape[-1]
         ks = self.ksize
-        Ho, Wo = H // self.stride, W // self.stride
+        # same-padding strided conv: output dims are ceil(H/stride), not floor
+        Ho, Wo = math.ceil(H / self.stride), math.ceil(W / self.stride)
         records.append(dict(kind="conv", B=B, HW=Ho * Wo, K=ks * ks * Cin,
                             N=Cout, Cin=Cin, Cout=Cout, ksize=ks,
                             res=f"{H}x{W}"))

@@ -162,7 +162,8 @@ def build_ddpm28(batch, dtype):
 
 def build_ddpmXL(batch, dtype):
     """The reference example's own U-Net scale (cont_ddpm.py:305-309: hidden
-    64, dim_mults (1,2,4)) — 4x the channel widths of the ddpm28 headline, so
+    64, dim_mults (1,2,4)) — 2-4x wider towers (~4x conv FLOPs) than the
+    ddpm28 headline (2x at the first two levels, 4x at the deepest), so
     the conv GEMMs run at 0.5-1.0 MXU lane occupancy instead of 0.19-0.5
     (benchmarks/ddpm_roofline.py). Shows what MFU this framework reaches when
     the model's shapes stop capping the MXU."""

@@ -18,6 +18,74 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Acceptance bands: (strong_order_min, weak_order_min) per (combo, method).
+# The reference's diagnostics print slopes but assert nothing
+# (/root/reference/diagnostics/inspection.py:114-122); here a regression in
+# either slope fails the run loudly (exit 1). Lower bounds are cut ~0.3-0.8
+# below the committed TPU b1024 slopes (results_tpu_b1024.json) — wide enough
+# for MC noise across batch sizes/backends, tight enough that a broken solver
+# (e.g. Milstein degrading to Euler's 0.5, or a biased weak error) trips them.
+# Theoretical orders: euler.py:26, milstein.py:23, srk.py:32, heun.py:32,
+# midpoint.py:26, reversible_heun.py:55, log_ode.py:36 in the reference.
+ORDER_BANDS = {
+    "ito_diagonal": {
+        "euler": (0.35, 0.45), "milstein": (0.80, 0.65),
+        "milstein_grad_free": (0.80, 0.65), "srk": (1.25, 0.70),
+    },
+    "ito_scalar": {
+        "euler": (0.35, 0.50), "milstein": (0.80, 0.60),
+        "milstein_grad_free": (0.80, 0.60), "srk": (1.10, 1.00),
+    },
+    "ito_additive": {
+        "euler": (0.85, 0.60), "milstein": (0.85, 0.60),
+        "milstein_grad_free": (0.85, 0.60), "srk": (1.40, 1.20),
+    },
+    "ito_general": {"euler": (0.45, 0.50)},
+    "stratonovich_diagonal": {
+        "euler_heun": (0.80, 0.80), "heun": (0.80, 0.70),
+        "midpoint": (0.80, 0.70), "reversible_heun": (0.45, 0.70),
+        "milstein": (0.80, 0.80), "milstein_grad_free": (0.80, 0.80),
+        "log_ode": (0.80, 0.70),
+    },
+    "stratonovich_scalar": {
+        "euler_heun": (0.60, 0.50), "heun": (0.60, 0.50),
+        "midpoint": (0.70, 0.50), "reversible_heun": (0.45, 0.50),
+        "milstein": (0.80, 0.60), "milstein_grad_free": (0.50, 0.60),
+        "log_ode": (0.70, 0.50),
+    },
+    "stratonovich_additive": {
+        "euler_heun": (0.85, 0.60), "heun": (1.40, 1.20),
+        "midpoint": (1.40, 1.20), "reversible_heun": (1.20, 1.20),
+        "milstein": (0.85, 0.60), "milstein_grad_free": (0.85, 0.60),
+        "log_ode": (1.40, 1.20),
+    },
+    "stratonovich_general": {
+        "euler_heun": (0.70, 0.50), "heun": (0.70, 0.80),
+        "midpoint": (0.70, 0.80), "reversible_heun": (0.45, 0.80),
+        "log_ode": (0.70, 0.80),
+    },
+}
+
+
+def check_bands(all_results):
+    """Returns a list of human-readable violations against ORDER_BANDS."""
+    violations = []
+    for combo, methods in all_results.items():
+        for label, r in methods.items():
+            band = ORDER_BANDS.get(combo, {}).get(label)
+            if band is None:
+                continue
+            strong_min, weak_min = band
+            if r["strong_order"] < strong_min:
+                violations.append(
+                    f"{combo}/{label}: strong_order {r['strong_order']:.3f}"
+                    f" < band minimum {strong_min}")
+            if r["weak_order"] < weak_min:
+                violations.append(
+                    f"{combo}/{label}: weak_order {r['weak_order']:.3f}"
+                    f" < band minimum {weak_min}")
+    return violations
+
 
 def main():
     parser = argparse.ArgumentParser()
@@ -29,6 +97,8 @@ def main():
     parser.add_argument("--json", type=str, default=None)
     parser.add_argument("--only", type=str, default=None,
                         help="run a single sde_type_noise combination")
+    parser.add_argument("--no-check", action="store_true",
+                        help="skip the ORDER_BANDS acceptance check")
     args = parser.parse_args()
 
     import jax
@@ -90,6 +160,16 @@ def main():
     if args.json:
         with open(args.json, "w") as f:
             json.dump(all_results, f, indent=2)
+
+    if not args.no_check:
+        violations = check_bands(all_results)
+        if violations:
+            print("ORDER-BAND VIOLATIONS:")
+            for v in violations:
+                print("  " + v)
+            sys.exit(1)
+        n = sum(len(m) for m in all_results.values())
+        print(f"order bands: {n} method slopes within acceptance bands")
     return all_results
 
 

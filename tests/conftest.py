@@ -9,6 +9,14 @@ we must set the config flag before any backend initialisation.
 """
 
 import os
+import sys
+
+# torchsde_tpu is used from the source tree (not pip-installed); make test
+# collection work from any cwd by putting the repo root on sys.path here,
+# before any test module imports the package.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")

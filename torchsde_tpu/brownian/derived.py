@@ -42,13 +42,17 @@ class ReverseBrownian(base.BaseBrownian):
         ``(points[ia], points[ib])`` is forward interval ``(-tb, -ta)``, so
         negate the points and swap each pair's indices. Duck-typed bases
         without ``query_pairs`` (PrecomputedBrownian, custom samplers) fall
-        back to per-pair calls — same results, one descent per pair."""
+        back to per-pair calls — same results, one descent per pair. Inverted
+        pairs (points[ia] > points[ib]) are clamped to zero-width here,
+        mirroring BrownianInterval's ``tb = max(ta, tb)`` semantics, since a
+        ``__call__``-only base may not enforce that contract itself."""
         if not hasattr(self.base_brownian, "query_pairs"):
             points = jnp.asarray(points)
             outs = []
             for ia, ib in pairs:
-                outs.append(self(points[ia], points[ib],
-                                 return_U=return_U, return_A=return_A))
+                ta = points[ia]
+                tb = jnp.maximum(ta, points[ib])
+                outs.append(self(ta, tb, return_U=return_U, return_A=return_A))
             return outs
         return self.base_brownian.query_pairs(
             -jnp.asarray(points), [(ib, ia) for ia, ib in pairs],

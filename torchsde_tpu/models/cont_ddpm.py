@@ -47,7 +47,11 @@ class ScoreMatchingSDE(Module):
         correct for homogeneous-dtype networks (all models in this repo); a
         custom denoiser mixing parameter dtypes should cast inputs itself."""
         param_dtype = jax.tree_util.tree_leaves(self.denoiser)[0].dtype
-        t = jnp.broadcast_to(jnp.asarray(t, param_dtype), (y.shape[0],))
+        # t stays f32 into the denoiser: the sinusoidal time embedding's
+        # t*freqs products are precision-sensitive, so the UNet computes the
+        # embedding in f32 and casts to param dtype only afterwards (the
+        # reference keeps t in the state dtype, examples/unet.py:43-52).
+        t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (y.shape[0],))
         return self.denoiser(t, y.astype(param_dtype)).astype(y.dtype)
 
     def _beta(self, t):

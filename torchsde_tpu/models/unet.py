@@ -156,7 +156,11 @@ class UNet(Module):
         chw = x.shape[1] < x.shape[-1] or x.shape[1] <= 4
         if chw:  # NCHW -> NHWC
             x = jnp.transpose(x, (0, 2, 3, 1))
-        temb = sinusoidal_embedding(t, self.base_ch)
+        # Embed time in f32 regardless of the net's param dtype: the t*freqs
+        # products quantize badly in bf16, and the embedding is (B, base_ch)
+        # scalars — casting after costs nothing.
+        temb = sinusoidal_embedding(t.astype(jnp.float32), self.base_ch)
+        temb = temb.astype(self.time_mlp1.w.dtype)
         temb = self.time_mlp2(jax.nn.silu(self.time_mlp1(temb)))
 
         h = self.conv_in(x)
