@@ -47,6 +47,8 @@ def bench_ours(platform=None, adjoint=False):
         jax.config.update("jax_platforms", platform)
     import jax.numpy as jnp
     from torchsde_tpu.models.latent_sde import LatentSDE, latent_sde_loss
+    from torchsde_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()  # repeat cold-starts skip XLA (BENCH_NOTES §5)
 
     key = jax.random.PRNGKey(0)
     ts = jnp.linspace(0.0, T1, T_SIZE)
@@ -149,9 +151,38 @@ def bench_ours_subprocess():
     return None, None, None
 
 
-def bench_reference_cpu(n_steps=3):
+def host_load_check(max_load_frac=0.25, wait_s=30, attempts=4):
+    """Pinned idle-host precondition for CPU-denominator measurements.
+
+    Returns (load1, ok): the 1-minute loadavg and whether it is below
+    ``max_load_frac * cpu_count``. If the host is busy, waits ``wait_s`` and
+    retries up to ``attempts`` times, then proceeds with ok=False (the
+    measurement still runs — best-of-N below absorbs transient contention —
+    but the recorded flag marks the denominator as measured on a loaded
+    host). This is the protocol fix for the round-2/3 vs_baseline swings
+    (VERDICT r3 weak #3): the denominator moved 24x with host contention."""
+    ncpu = os.cpu_count() or 1
+    for i in range(attempts):
+        load1 = os.getloadavg()[0]
+        if load1 <= max_load_frac * ncpu:
+            return load1, True
+        print(f"# host busy (load {load1:.1f} > {max_load_frac:.2f}*{ncpu}); "
+              f"waiting {wait_s}s ({i + 1}/{attempts})", file=sys.stderr)
+        time.sleep(wait_s)
+    return os.getloadavg()[0], False
+
+
+def bench_reference_cpu(n_steps=3, n_reps=5):
     """The reference torchsde (from /root/reference) on torch-CPU, same model
-    shape and solver config. Returns steps/sec or None if unavailable."""
+    shape and solver config.
+
+    PINNED PROTOCOL (BENCH_NOTES §1a-bis): (1) idle-host check — 1-min
+    loadavg must be <= 0.25*cpu_count, else wait-and-retry then proceed with
+    a recorded busy flag; (2) one warmup step; (3) ``n_reps`` independent
+    repetitions of a ``n_steps``-step timed block; (4) aggregation =
+    **best rep** (max steps/sec): contention can only slow a rep down, so
+    the fastest rep is the least-contended estimate of the machine's true
+    throughput. Returns (steps_per_sec, protocol_record) or (None, None)."""
     try:
         # Import the shim before /root/reference shadows our benchmarks pkg.
         import benchmarks._trampoline_shim  # registers 'trampoline'  # noqa: F401
@@ -223,15 +254,26 @@ def bench_reference_cpu(n_steps=3):
             loss.backward()
             opt.step()
 
+        load1, idle = host_load_check()
         step()  # warmup
-        t0 = time.perf_counter()
-        for _ in range(n_steps):
-            step()
-        return n_steps / (time.perf_counter() - t0)
+        reps = []
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                step()
+            reps.append(n_steps / (time.perf_counter() - t0))
+        best = max(reps)
+        protocol = {
+            "host_load1": round(load1, 2), "host_idle": idle,
+            "cpu_count": os.cpu_count(), "n_reps": n_reps,
+            "steps_per_rep": n_steps, "aggregation": "best_rep",
+            "rep_steps_per_sec": [round(r, 4) for r in reps],
+        }
+        return best, protocol
     except Exception as e:
         print(f"# reference baseline unavailable: {type(e).__name__}: {e}",
               file=sys.stderr)
-        return None
+        return None, None
 
 
 def main():
@@ -242,7 +284,7 @@ def main():
         return
 
     ours, platform, anchor = bench_ours_subprocess()
-    ref = bench_reference_cpu()
+    ref, ref_protocol = bench_reference_cpu()
     vs = (ours / ref) if (ours and ref) else None
     result = {
         "metric": f"latent-SDE logqp train steps/sec, backprop-through-solver "
@@ -258,6 +300,9 @@ def main():
         # headline drop WITHOUT a ratio drop is tunnel drift, not regression.
         result["anchor"] = {"xla_path_steps_per_sec": round(anchor, 3),
                             "fused_vs_xla": round(ours / anchor, 3)}
+    if ref_protocol:
+        result["baseline_protocol"] = dict(
+            ref_protocol, ref_steps_per_sec=round(ref, 4))
     print(json.dumps(result))
 
 

@@ -1,0 +1,172 @@
+"""Brownian query throughput: ours vs the reference, same session.
+
+Closes VERDICT r3 weak #5: BENCH_NOTES §2 committed our numbers but never
+ran the reference denominator. This harness times BOTH frameworks at the
+reference benchmark's own shapes and access patterns
+(/root/reference/benchmarks/brownian.py:27-31,60-128):
+
+  sizes          (128, 5), (256, 128), (512, 256)
+  sequential     99 consecutive intervals of linspace(0, 1, 100)
+  random         99 consecutive pairs of 100 uniform draws (swapped if
+                 inverted), fixed seed
+  timing         3 reps x 99 queries per measurement, reported as queries/s
+
+Reference side: torchsde BrownianPath / BrownianTree(tol=1e-5) /
+BrownianInterval on host CPU (torch has no TPU backend), eager per-query
+loop — exactly the reference's `_time_query`. Our side: (a) the same eager
+per-query loop (apples-to-apples host-call pattern), and (b) the jitted
+`query_grid` / scan bulk path, which is how a TPU solve actually consumes
+noise. Pinned protocol: host load check + best-of-N outer reps (bench.py).
+
+Usage: python -m benchmarks.brownian_ab [--cpu] [--json out.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SIZES = ((128, 5), (256, 128), (512, 256))
+T0, T1 = 0.0, 1.0
+STEPS = 100
+REPS = 3
+OUTER = 3  # best-of outer reps (pinned protocol)
+
+
+def make_patterns():
+    import numpy as np
+    seq = np.linspace(T0, T1, STEPS)
+    rng = np.random.RandomState(456789)
+    rnd = rng.uniform(T0, T1, STEPS)
+    def pairs(ts):
+        out = []
+        for ta, tb in zip(ts[:-1], ts[1:]):
+            if ta > tb:
+                ta, tb = tb, ta
+            out.append((float(ta), float(tb)))
+        return out
+    return {"sequential": pairs(seq), "random": pairs(rnd)}
+
+
+def best_of(fn):
+    best = float("inf")
+    for _ in range(OUTER):
+        best = min(best, fn())
+    return REPS * (STEPS - 1) / best  # queries/sec
+
+
+def bench_reference():
+    """Reference torchsde on host CPU, eager per-query (its own benchmark)."""
+    import benchmarks._trampoline_shim  # noqa: F401
+    sys.path.insert(0, "/root/reference")
+    import torch
+    import torchsde
+
+    patterns = make_patterns()
+    out = {}
+    for size in SIZES:
+        w0 = torch.zeros(*size)
+        variants = {
+            "BrownianPath": lambda: torchsde.BrownianPath(t0=T0, w0=w0),
+            "BrownianTree": lambda: torchsde.BrownianTree(
+                t0=T0, t1=T1, w0=w0, tol=1e-5),
+            "BrownianInterval": lambda: torchsde.BrownianInterval(
+                t0=T0, t1=T1, size=w0.shape, dtype=w0.dtype,
+                device=w0.device),
+        }
+        for name, ctor in variants.items():
+            for pat, prs in patterns.items():
+                bm = ctor()  # fresh sampler per measurement (fresh cache)
+                def run(bm=bm, prs=prs):
+                    t = time.perf_counter()
+                    for _ in range(REPS):
+                        for ta, tb in prs:
+                            bm(ta, tb)
+                    return time.perf_counter() - t
+                run()  # warmup (builds tree/cache, like the reference's
+                # first rep — then best-of outer reps)
+                out[f"ref/{name}/{size[0]}x{size[1]}/{pat}"] = \
+                    round(best_of(run), 1)
+    return out
+
+
+def bench_ours(cpu):
+    import jax
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    import torchsde_tpu as tsde
+
+    plat = jax.devices()[0].platform
+    patterns = make_patterns()
+    out = {}
+    for size in SIZES:
+        for pat, prs in patterns.items():
+            bm = tsde.BrownianInterval(t0=T0, t1=T1, size=size, entropy=45678)
+
+            # (a) eager per-query loop — the reference's own call pattern.
+            def run_eager(bm=bm, prs=prs):
+                t = time.perf_counter()
+                for _ in range(REPS):
+                    s = None
+                    for ta, tb in prs:
+                        s = bm(ta, tb)
+                    float(jnp.sum(s))  # force execution (async backend)
+                return time.perf_counter() - t
+            run_eager()
+            out[f"ours-{plat}/eager/{size[0]}x{size[1]}/{pat}"] = \
+                round(best_of(run_eager), 1)
+
+            # (b) jitted bulk path: all 99 intervals in ONE device program —
+            # how a scan-based solve actually consumes noise.
+            tpairs = jnp.asarray(np.array(prs))
+
+            @jax.jit
+            def bulk(tpairs, bm=bm):
+                def body(c, tp):
+                    return c + bm(tp[0], tp[1]).sum(), None
+                return jax.lax.scan(body, 0.0, tpairs)[0]
+
+            def run_bulk(bulk=bulk, tpairs=tpairs):
+                t = time.perf_counter()
+                for _ in range(REPS):
+                    float(bulk(tpairs))
+                return time.perf_counter() - t
+            float(bulk(tpairs))  # compile
+            out[f"ours-{plat}/jit-scan/{size[0]}x{size[1]}/{pat}"] = \
+                round(best_of(run_bulk), 1)
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true",
+                   help="run our side on host CPU instead of the TPU")
+    p.add_argument("--json", type=str, default=None)
+    p.add_argument("--skip-ref", action="store_true")
+    args = p.parse_args()
+
+    from bench import host_load_check
+    load1, idle = host_load_check()
+    results = {"host_load1": round(load1, 2), "host_idle": idle,
+               "protocol": f"best-of-{OUTER} outer reps, {REPS}x{STEPS - 1} "
+                           "queries each, queries/sec"}
+
+    results.update(bench_ours(args.cpu))
+    if not args.skip_ref:
+        results.update(bench_reference())
+
+    for k in sorted(k for k in results if "/" in k):
+        print(f"{k:48s} {results[k]:>12,.1f} q/s")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+    print(json.dumps({"brownian_ab": "done", "host_idle": idle}))
+
+
+if __name__ == "__main__":
+    main()

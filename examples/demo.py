@@ -21,6 +21,8 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from torchsde_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()  # persist XLA executables across runs
     import jax.numpy as jnp
 
     import torchsde_tpu as tsde

@@ -53,6 +53,8 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from torchsde_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()  # persist XLA executables across runs
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -175,14 +177,17 @@ def main():
     ks1_mean, ks1_max = marginal_ks(avg_gen, jax.random.fold_in(key, 556))
     # Acceptance: the SWA generator's per-time marginals sit within KS 0.12
     # of the data on average (0.12 >> the n=1024-vs-N sampling floor of
-    # ~0.045, << the untrained ~0.5) and improved at least 3x (RESULTS.md).
+    # ~0.045, << the untrained ~0.5), the WORST single time stays under KS
+    # 0.15 (bounds the tail, not just the mean — VERDICT r3 weak #2), and
+    # the mean improved at least 3x (RESULTS.md).
     save_acceptance(
         args.artifacts_dir, "sde_gan_acceptance.json",
         workload="sde_gan", steps=args.steps, batch=args.batch,
         ks_mean_initial=ks0_mean, ks_mean_final=ks1_mean,
         ks_max_final=ks1_max, accept_ks_mean_below=0.12,
-        accept_improvement_factor=3.0,
-        passed=bool(ks1_mean < 0.12 and ks1_mean * 3.0 < ks0_mean))
+        accept_ks_max_below=0.15, accept_improvement_factor=3.0,
+        passed=bool(ks1_mean < 0.12 and ks1_max < 0.15
+                    and ks1_mean * 3.0 < ks0_mean))
 
     if args.artifacts_dir:
         import matplotlib
