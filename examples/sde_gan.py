@@ -48,6 +48,13 @@ def main():
                    help="save the marginals plot + acceptance record here")
     p.add_argument("--eval-every", type=int, default=None,
                    help="evaluate generated-vs-real marginal KS every N steps")
+    p.add_argument("--eval-final-n", type=int, default=8192,
+                   help="generated-sample count for the FINAL acceptance "
+                        "eval. In-training evals use n=1024 (fast, noisy: "
+                        "the max-over-64-times KS carries ~±0.03 sampling "
+                        "noise there); the acceptance measures the actual "
+                        "distance with n matching the real set, where the "
+                        "per-time two-sample noise floor is ~0.021")
     args = p.parse_args()
 
     import jax
@@ -136,10 +143,10 @@ def main():
         real_ = np.asarray(data[:, :, 1])                    # (N, T)
         ks = [stats.ks_2samp(fake_[:, t], real_[:, t]).statistic
               for t in range(len(ts))]
-        return float(np.mean(ks)), float(np.max(ks))
+        return float(np.mean(ks)), float(np.max(ks)), int(np.argmax(ks))
 
     eval_every = args.eval_every or max(1, args.steps // 20)
-    ks0_mean, ks0_max = marginal_ks(gen, jax.random.fold_in(key, 555))
+    ks0_mean, ks0_max, _ = marginal_ks(gen, jax.random.fold_in(key, 555))
     print(f"initial marginal KS mean {ks0_mean:.4f} max {ks0_max:.4f}")
 
     avg = (gen, disc)
@@ -157,7 +164,7 @@ def main():
         if do_eval or step % log_every == 0 or step == args.steps - 1:
             rec = dict(step=step, loss=float(loss))
             if do_eval:
-                rec["ks_mean"], rec["ks_max"] = marginal_ks(
+                rec["ks_mean"], rec["ks_max"], rec["ks_argmax"] = marginal_ks(
                     avg_gen, jax.random.fold_in(k_eval, step))
             logger.write(**rec)
         if step % max(1, args.steps // 10) == 0:
@@ -174,7 +181,8 @@ def main():
     fake_mean = float(jnp.mean(fake[..., 1]))
     print(f"real mean {real_mean:+.3f}  generated mean {fake_mean:+.3f}")
 
-    ks1_mean, ks1_max = marginal_ks(avg_gen, jax.random.fold_in(key, 556))
+    ks1_mean, ks1_max, ks1_argmax = marginal_ks(
+        avg_gen, jax.random.fold_in(key, 556), n=args.eval_final_n)
     # Acceptance: the SWA generator's per-time marginals sit within KS 0.12
     # of the data on average (0.12 >> the n=1024-vs-N sampling floor of
     # ~0.045, << the untrained ~0.5), the WORST single time stays under KS
@@ -184,7 +192,8 @@ def main():
         args.artifacts_dir, "sde_gan_acceptance.json",
         workload="sde_gan", steps=args.steps, batch=args.batch,
         ks_mean_initial=ks0_mean, ks_mean_final=ks1_mean,
-        ks_max_final=ks1_max, accept_ks_mean_below=0.12,
+        ks_max_final=ks1_max, ks_argmax_final=ks1_argmax,
+        accept_ks_mean_below=0.12,
         accept_ks_max_below=0.15, accept_improvement_factor=3.0,
         passed=bool(ks1_mean < 0.12 and ks1_max < 0.15
                     and ks1_mean * 3.0 < ks0_mean))
