@@ -13,6 +13,10 @@ import sys
 
 import pytest
 
+# Integration tier: five subprocess cold-compiles (~4-5 CPU-min total)
+# — run with `-m heavy` or `-m ""` (pyproject deselects by default).
+pytestmark = pytest.mark.heavy
+
 EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 CASES = {

@@ -43,6 +43,7 @@ def _max_tree_diff(a_tree, b_tree):
     return max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(aa, bb))
 
 
+@pytest.mark.heavy
 def test_generator_solve_matches_xla(setup):
     key, B, ts, gen, _, _ = setup
     x0 = jax.random.normal(jax.random.fold_in(key, 5), (B, 16), jnp.float32)
@@ -91,6 +92,7 @@ def test_cde_solve_matches_xla(setup):
     np.testing.assert_allclose(gf_y, gr_y, atol=1e-4)
 
 
+@pytest.mark.heavy
 def test_gan_loss_fused_grads_match(setup):
     key, _, ts, gen, disc, real = setup
     k = jax.random.fold_in(key, 4)
@@ -176,6 +178,7 @@ def test_gen_solve_full_vjp_including_noise(setup):
         assert d <= max(1e-4, 1e-5 * max(scale, 1.0)), (name, d, scale)
 
 
+@pytest.mark.heavy
 def test_bf16_mixed_mode_matches_xla_bf16():
     """bf16 mixed-precision fused GAN kernels (VERDICT r2 item 6, the scheme
     ported from latent_fused): bf16 weights/noise-streams/matmuls with f32

@@ -191,6 +191,7 @@ def test_grad_of_jit():
     # a positive-only clamp silently corrupted u = (f-h)/g when g < 0).
     (False, "linear"), (True, "tanh"),
 ])
+@pytest.mark.heavy
 def test_fused_logqp_matches_sdeint(with_time, gact):
     key = jax.random.PRNGKey(21 + with_time)
     B, d, T = 8, 4, 5

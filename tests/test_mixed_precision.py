@@ -40,6 +40,7 @@ def test_solve_and_adjoint_dtype(dtype):
     assert bool(jnp.all(jnp.isfinite(g.w.astype(jnp.float32))))
 
 
+@pytest.mark.heavy
 def test_latent_model_bf16_step():
     from torchsde_tpu.models.latent_sde import LatentSDE, latent_sde_loss
     key = jax.random.PRNGKey(0)
@@ -56,6 +57,7 @@ def test_latent_model_bf16_step():
     assert grads.projector.w.dtype == jnp.bfloat16
 
 
+@pytest.mark.heavy
 def test_ddpm_bf16_loss_and_samplers():
     """A bf16 U-Net must train and sample through BOTH samplers: the VP-SDE's
     time coefficients are f32 scalars, so sampler state promotes after one

@@ -72,6 +72,7 @@ def test_latent_sde_fused_drift_matches_towers(latent_model):
                                    atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_latent_sde_loss_grads_finite(latent_model):
     model, xs, ts = latent_model
     key = jax.random.PRNGKey(3)
@@ -110,6 +111,7 @@ def test_linear_fill_nans_matches_hand_interp():
     assert out[0, 0] == 1.0 and out[3, 0] == 4.0
 
 
+@pytest.mark.heavy
 def test_linear_fill_nans_batched_and_degenerate():
     from torchsde_tpu.models.sde_gan import linear_fill_nans
     key = jax.random.PRNGKey(0)
@@ -127,6 +129,7 @@ def test_linear_fill_nans_batched_and_degenerate():
         np.asarray(linear_fill_nans(ts, all_nan)), np.zeros((8, 1)))
 
 
+@pytest.mark.heavy
 def test_get_ou_data_irregular():
     from torchsde_tpu.models.sde_gan import get_ou_data
     ts, data = get_ou_data(jax.random.PRNGKey(0), 64, 16, drop_frac=0.3)

@@ -163,6 +163,7 @@ def test_grid_mode_srk_levy_in_scan():
     assert bool(jnp.isfinite(a).all())
 
 
+@pytest.mark.heavy
 def test_sparse_outputs_match_dense(monkeypatch):
     """Above DENSE_OUTPUT_MAX_BYTES, sdeint keeps only the <= 2T bracketing
     grid states instead of the full trajectory stack; values and gradients
@@ -213,6 +214,7 @@ def test_sparse_outputs_srk_logqp_remat(monkeypatch):
     assert bool(jnp.isfinite(both).all())
 
 
+@pytest.mark.heavy
 def test_auto_policy_flips_to_in_scan(monkeypatch):
     """With the threshold forced to zero the auto mode must route through the
     in-scan path; in object mode the result is bitwise the precomputed one."""
@@ -291,6 +293,7 @@ def test_pallas_rng_downgrade_warns(monkeypatch):
             jax.grad(loss)(sde)
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("in_scan", [False, True])
 def test_remat_grads_match_nonremat(monkeypatch, in_scan):
     """remat=True only changes WHEN step activations are (re)computed, never

@@ -9,6 +9,7 @@ from torchsde_tpu.models.latent_sde import LatentSDE, latent_sde_loss
 from torchsde_tpu.utils.packing import pack_train_step
 
 
+@pytest.mark.heavy
 def test_packed_step_matches_unpacked():
     key = jax.random.PRNGKey(0)
     ts = jnp.linspace(0.0, 1.0, 5)

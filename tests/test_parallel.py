@@ -41,6 +41,7 @@ def test_sharded_solve_matches_single_device():
                                rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.heavy
 def test_dp_train_step():
     from torchsde_tpu.models.latent_sde import LatentSDE, latent_sde_loss
 
@@ -71,6 +72,7 @@ def test_dp_train_step():
     assert not w.is_fully_addressable or w.sharding.is_fully_replicated
 
 
+@pytest.mark.heavy
 def test_tp_dp_2d_mesh_train_step():
     """2-D (data x model) mesh: batch sharded over 'data', the drift MLPs
     Megatron-sharded over 'model'. Loss must match the unsharded run (GSPMD
@@ -183,6 +185,7 @@ def test_tp_fallback_warns():
     assert not any("fallback" in str(r.message) for r in rec)
 
 
+@pytest.mark.heavy
 def test_stacked_replicas_match_independent_training():
     """parallel.replicas: K models trained in ONE vmapped program must equal
     the same K models trained one-by-one (exact interleaving of independent
@@ -225,6 +228,7 @@ def test_stacked_replicas_match_independent_training():
     assert bool(jnp.all(jnp.isfinite(losses2)))
 
 
+@pytest.mark.heavy
 def test_replica_dp_2d_mesh():
     """Replica x DP composition (VERDICT r2 item 8): K replicas on one mesh
     axis, each data-parallel over the other axis on its batch dimension, in
@@ -277,6 +281,7 @@ def test_replica_dp_2d_mesh():
     assert not models2.projector.w.sharding.is_fully_replicated
 
 
+@pytest.mark.heavy
 def test_two_slice_mesh_dp_across_dcn():
     """Simulated 2-slice pod (2 slices x 4 chips): following make_mesh_2d's
     DCN guidance, the data axis spans slices (gradient psums tolerate DCN
@@ -311,6 +316,7 @@ def test_two_slice_mesh_dp_across_dcn():
     np.testing.assert_allclose(loss, base, rtol=1e-4)
 
 
+@pytest.mark.heavy
 def test_replicas_sharded_over_mesh():
     """Replica-axis parallelism: the stacked-replica training step with the
     K axis sharded over the 8-device mesh must match the single-device

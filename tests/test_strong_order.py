@@ -20,7 +20,7 @@ import problems
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from diagnostics.harness import inspect_orders  # noqa: E402
 
-BATCH = 1024
+BATCH = 512  # slopes hold to ~±0.1 vs 1024 (bands are ±0.25+); halves CI time
 D = 3
 M = 5
 T0, T1 = 0.0, 2.0
