@@ -153,6 +153,7 @@ def test_brownian_tree_pinned_levy_area_independent():
     assert pval > 1e-5, pval
 
 
+@pytest.mark.slow  # ~18 s (per-point host descents for the bulk comparison)
 def test_reverse_brownian_query_grid_matches_calls():
     base = tsde.BrownianInterval(0.0, 1.0, size=(8, 2), entropy=11,
                                  dtype=jnp.float64,

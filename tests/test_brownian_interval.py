@@ -46,6 +46,12 @@ def _setup(levy_area_approximation, shape, entropy=None):
 
 
 def _levy_returns():
+    # Every cell compiles its own samplers (~6-9 s); the fast tier keeps one
+    # representative per Levy mode plus the all-returns cells, the remaining
+    # davie/foster return-combination cells run under -m slow / -m "".
+    fast = {("none", False, False), ("space-time", False, False),
+            ("space-time", True, False), ("davie", True, True),
+            ("foster", True, True)}
     out = [("none", False, False),
            ("space-time", False, False),
            ("space-time", True, False)]
@@ -53,7 +59,9 @@ def _levy_returns():
         for return_U in (True, False):
             for return_A in (True, False):
                 out.append((levy, return_U, return_A))
-    return out
+    return [cell if cell in fast
+            else pytest.param(*cell, marks=pytest.mark.slow)
+            for cell in out]
 
 
 def _as_tuple(val):
@@ -193,8 +201,11 @@ def test_normality_conditional(levy_area_approximation):
                 assert pval >= ALPHA
 
 
-@pytest.mark.parametrize("levy_area_approximation",
-                         ["none", "space-time", "davie", "foster"])
+@pytest.mark.parametrize("levy_area_approximation", [
+    "none", "space-time",
+    pytest.param("davie", marks=pytest.mark.slow),
+    pytest.param("foster", marks=pytest.mark.slow),
+])
 def test_consistency(levy_area_approximation):
     """W additivity and the U chain rule (reference test:261-288)."""
     t0, t1 = 0.0, 1.0
@@ -216,6 +227,7 @@ def test_consistency(levy_area_approximation):
                                        np.asarray(U), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow  # ~11 s per cell (full-depth host descents)
 @pytest.mark.parametrize("levy_area_approximation", ["davie", "foster"])
 def test_levy_area_query_context_independent(levy_area_approximation):
     """The full Levy area A of one interval must be bitwise identical no
@@ -244,6 +256,7 @@ def test_levy_area_query_context_independent(levy_area_approximation):
                                rtol=0, atol=1e-15)
 
 
+@pytest.mark.slow  # ~29 s
 def test_host_traced_agreement_x64_off():
     """Concrete (host-resolved) and traced (on-device) queries of the same
     interval must return identical noise in BOTH x64 modes. The host descent
@@ -425,8 +438,11 @@ def test_adaptive_warns_when_dt_min_below_leaf():
     assert any("leaf width" in str(r.message) for r in rec)
 
 
-@pytest.mark.parametrize("levy_area_approximation",
-                         ["none", "space-time", "foster"])
+@pytest.mark.parametrize("levy_area_approximation", [
+    pytest.param("none", marks=pytest.mark.slow),
+    "space-time",  # the srk hot path stays in the fast tier
+    pytest.param("foster", marks=pytest.mark.slow),
+])
 def test_query_pairs_bitwise_matches_call(levy_area_approximation):
     """query_pairs (one shared descent per point — the adaptive hot path's
     3-descents-per-attempt form) is bitwise identical to querying each pair

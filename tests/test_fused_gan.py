@@ -17,6 +17,11 @@ from torchsde_tpu.core.sdeint import sdeint
 from torchsde_tpu.models import sde_gan as G
 
 
+# Integration tier: whole-solve fused-kernel equivalence via the Pallas
+# interpreter (~1-2 CPU-min per module) — run with `-m heavy` or `-m ""`.
+pytestmark = pytest.mark.heavy
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _interpret_mode():
     old = GF._INTERPRET
@@ -43,7 +48,6 @@ def _max_tree_diff(a_tree, b_tree):
     return max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(aa, bb))
 
 
-@pytest.mark.heavy
 def test_generator_solve_matches_xla(setup):
     key, B, ts, gen, _, _ = setup
     x0 = jax.random.normal(jax.random.fold_in(key, 5), (B, 16), jnp.float32)
@@ -92,7 +96,6 @@ def test_cde_solve_matches_xla(setup):
     np.testing.assert_allclose(gf_y, gr_y, atol=1e-4)
 
 
-@pytest.mark.heavy
 def test_gan_loss_fused_grads_match(setup):
     key, _, ts, gen, disc, real = setup
     k = jax.random.fold_in(key, 4)
@@ -178,7 +181,6 @@ def test_gen_solve_full_vjp_including_noise(setup):
         assert d <= max(1e-4, 1e-5 * max(scale, 1.0)), (name, d, scale)
 
 
-@pytest.mark.heavy
 def test_bf16_mixed_mode_matches_xla_bf16():
     """bf16 mixed-precision fused GAN kernels (VERDICT r2 item 6, the scheme
     ported from latent_fused): bf16 weights/noise-streams/matmuls with f32

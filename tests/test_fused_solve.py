@@ -56,6 +56,7 @@ CASES = [
 ]
 
 
+@pytest.mark.heavy  # ~10-14 s per cell (interpreter-mode whole-solve vjps)
 @pytest.mark.parametrize("method,sde_type,noise_type,d,m,with_time,depth",
                          CASES)
 def test_fused_sdeint_matches_sdeint(method, sde_type, noise_type, d, m,

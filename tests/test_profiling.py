@@ -5,6 +5,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import pytest
 
 import torchsde_tpu as tsde
 from torchsde_tpu.utils.profiling import annotate, trace
@@ -22,6 +23,7 @@ class _SDE(tsde.BaseSDE):
         return 0.1 * y
 
 
+@pytest.mark.heavy  # ~17 s: spins up the real jax profiler trace machinery
 def test_profiler_trace_writes_dump(tmp_path):
     logdir = str(tmp_path / "prof")
     y0 = jnp.ones((8, 2))

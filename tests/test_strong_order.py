@@ -34,6 +34,7 @@ def _orders(sde, noise_size, methods, options=None):
                           noise_size=noise_size, dt_true=DT_TRUE, entropy=7)
 
 
+@pytest.mark.slow  # ~44 s; stratonovich + grad-free stay in the fast tier
 def test_ito_diagonal_orders():
     sde = problems.ExDiagonal(d=D, sde_type="ito")
     r = _orders(sde, D, ("euler", "milstein", "srk"))
@@ -42,6 +43,7 @@ def test_ito_diagonal_orders():
     assert 1.25 <= r["srk"]["strong_order"] <= 1.9
 
 
+@pytest.mark.slow  # ~32 s
 def test_ito_additive_orders():
     sde = problems.ExAdditive(d=D, m=M, sde_type="ito")
     r = _orders(sde, M, ("euler", "srk"))
@@ -49,6 +51,7 @@ def test_ito_additive_orders():
     assert r["srk"]["strong_order"] >= 1.4
 
 
+@pytest.mark.slow  # ~18 s
 def test_ito_scalar_orders():
     sde = problems.ExScalar(d=D, sde_type="ito")
     r = _orders(sde, 1, ("euler", "milstein"))
