@@ -58,6 +58,11 @@ def best_of(fn):
     return REPS * (STEPS - 1) / best  # queries/sec
 
 
+def record(out, key, val):
+    out[key] = val
+    print(f"{key:48s} {val:>12,.1f} q/s", flush=True)
+
+
 def bench_reference():
     """Reference torchsde on host CPU, eager per-query (its own benchmark)."""
     import benchmarks._trampoline_shim  # noqa: F401
@@ -88,8 +93,8 @@ def bench_reference():
                     return time.perf_counter() - t
                 run()  # warmup (builds tree/cache, like the reference's
                 # first rep — then best-of outer reps)
-                out[f"ref/{name}/{size[0]}x{size[1]}/{pat}"] = \
-                    round(best_of(run), 1)
+                record(out, f"ref/{name}/{size[0]}x{size[1]}/{pat}",
+                       round(best_of(run), 1))
     return out
 
 
@@ -105,9 +110,18 @@ def bench_ours(cpu):
     patterns = make_patterns()
     out = {}
     for size in SIZES:
-        for pat, prs in patterns.items():
-            bm = tsde.BrownianInterval(t0=T0, t1=T1, size=size, entropy=45678)
+        # One sampler + one compiled bulk program per size: the sampler has
+        # no cache/query-order state, and the bulk path takes tpairs as an
+        # argument, so both patterns legitimately share them.
+        bm = tsde.BrownianInterval(t0=T0, t1=T1, size=size, entropy=45678)
 
+        @jax.jit
+        def bulk(tpairs, bm=bm):
+            def body(c, tp):
+                return c + bm(tp[0], tp[1]).sum(), None
+            return jax.lax.scan(body, 0.0, tpairs)[0]
+
+        for pat, prs in patterns.items():
             # (a) eager per-query loop — the reference's own call pattern.
             def run_eager(bm=bm, prs=prs):
                 t = time.perf_counter()
@@ -118,27 +132,21 @@ def bench_ours(cpu):
                     float(jnp.sum(s))  # force execution (async backend)
                 return time.perf_counter() - t
             run_eager()
-            out[f"ours-{plat}/eager/{size[0]}x{size[1]}/{pat}"] = \
-                round(best_of(run_eager), 1)
+            record(out, f"ours-{plat}/eager/{size[0]}x{size[1]}/{pat}",
+                   round(best_of(run_eager), 1))
 
             # (b) jitted bulk path: all 99 intervals in ONE device program —
             # how a scan-based solve actually consumes noise.
             tpairs = jnp.asarray(np.array(prs))
 
-            @jax.jit
-            def bulk(tpairs, bm=bm):
-                def body(c, tp):
-                    return c + bm(tp[0], tp[1]).sum(), None
-                return jax.lax.scan(body, 0.0, tpairs)[0]
-
-            def run_bulk(bulk=bulk, tpairs=tpairs):
+            def run_bulk(tpairs=tpairs):
                 t = time.perf_counter()
                 for _ in range(REPS):
                     float(bulk(tpairs))
                 return time.perf_counter() - t
-            float(bulk(tpairs))  # compile
-            out[f"ours-{plat}/jit-scan/{size[0]}x{size[1]}/{pat}"] = \
-                round(best_of(run_bulk), 1)
+            float(bulk(tpairs))  # compile (shared across patterns per size)
+            record(out, f"ours-{plat}/jit-scan/{size[0]}x{size[1]}/{pat}",
+                   round(best_of(run_bulk), 1))
     return out
 
 
@@ -148,6 +156,8 @@ def main():
                    help="run our side on host CPU instead of the TPU")
     p.add_argument("--json", type=str, default=None)
     p.add_argument("--skip-ref", action="store_true")
+    p.add_argument("--ref-only", action="store_true",
+                   help="only run the reference denominator (host CPU)")
     args = p.parse_args()
 
     from bench import host_load_check
@@ -156,12 +166,10 @@ def main():
                "protocol": f"best-of-{OUTER} outer reps, {REPS}x{STEPS - 1} "
                            "queries each, queries/sec"}
 
-    results.update(bench_ours(args.cpu))
+    if not args.ref_only:
+        results.update(bench_ours(args.cpu))
     if not args.skip_ref:
         results.update(bench_reference())
-
-    for k in sorted(k for k in results if "/" in k):
-        print(f"{k:48s} {results[k]:>12,.1f} q/s")
     if args.json:
         with open(args.json, "w") as f:
             json.dump(results, f, indent=2)

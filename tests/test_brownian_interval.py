@@ -493,3 +493,21 @@ def test_query_pairs_inverted_pair_clamps_to_zero():
         pts, ((0, 1), (1, 0)), return_U=True)
     assert float(jnp.abs(W_fwd).max()) > 0           # sanity: real increment
     assert bool(jnp.all(W_inv == 0)) and bool(jnp.all(U_inv == 0))
+
+
+def test_eager_query_jit_cache_bucketing():
+    """Repeated eager (concrete-time) queries reuse cached compiled descents:
+    at most ceil(levels/8) + 1 programs for any query stream, with values
+    bitwise-equal to the traced on-device path. Guards the depth-bucketing
+    argument (trailing zero bits descend left — a no-op on every output)."""
+    bm = tsde.BrownianInterval(0.0, 1.0, (8, D), dtype=jnp.float64,
+                               entropy=99, levels=32,
+                               levy_area_approximation="space-time")
+    rng = np.random.RandomState(7)
+    ts = np.sort(rng.uniform(0.0, 1.0, 40))
+    traced = jax.jit(lambda a, b: bm(a, b, return_U=True))
+    for ta, tb in zip(ts[:-1], ts[1:]):
+        W_e, U_e = bm(float(ta), float(tb), return_U=True)
+        W_t, U_t = traced(jnp.float64(ta), jnp.float64(tb))
+        assert bool(jnp.all(W_e == W_t)) and bool(jnp.all(U_e == U_t)), (ta, tb)
+    assert len(bm._cquery_cache) <= 32 // 8 + 1, sorted(bm._cquery_cache)

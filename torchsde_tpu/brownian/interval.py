@@ -180,6 +180,12 @@ class BrownianInterval(base.BaseBrownian):
         self._W_root = W
         self._H_root = H
 
+        # Jit-cached batched descents / whole queries for concrete
+        # (host-resolved) calls, keyed by bucketed depth — see
+        # _concrete_prefix / _concrete_query.
+        self._cprefix_cache = {}
+        self._cquery_cache = {}
+
     # ------------------------------------------------------------------ #
     #  Properties (API parity with the reference)                        #
     # ------------------------------------------------------------------ #
@@ -409,43 +415,33 @@ class BrownianInterval(base.BaseBrownian):
     #  Query                                                             #
     # ------------------------------------------------------------------ #
 
-    def __call__(self, ta, tb=None, return_U=False, return_A=False):
-        if tb is None:
-            warnings.warn(f"{self.__class__.__name__} is optimised for interval-based "
-                          f"queries, not point evaluation.")
-            ta, tb = self._t0, ta
+    def _concrete_prefix(self, bits, full):
+        """Batched descent for host-resolved queries, jitted and cached.
 
-        dtype = self.dtype
-        if _is_concrete_scalar(ta) and _is_concrete_scalar(tb):
-            fa, fb = float(ta), float(tb)
-            if fa < self._t0 or fb < self._t0:
-                warnings.warn(f"Query times should be >= t0={self._t0}; clamping.")
-            if fa > self._t1 or fb > self._t1:
-                warnings.warn(f"Query times should be <= t1={self._t1}; clamping.")
-            if fa > fb:
-                raise RuntimeError(f"Query times ta={fa:.3f} and tb={fb:.3f} must "
-                                   f"respect ta <= tb.")
-            bits, starts, full = self._host_bits(np.asarray([fa, fb]))
-            depth = bits.shape[1]
-            w_prefs, i_prefs, _, words = jax.vmap(
-                lambda b, f: self._prefix(depth, bits=b, full=f)
-            )(jnp.asarray(bits), jnp.asarray(full))
-            eff = np.where(full, self._t1, starts)
-            h_exact = float(eff[1] - eff[0])
-            h = jnp.asarray(h_exact, dtype)
-            degenerate = jnp.asarray(h_exact == 0.0)
-        else:
-            ftype = jax.dtypes.canonicalize_dtype(jnp.float64)
-            ta = jnp.clip(jnp.asarray(ta, ftype), self._t0, self._t1)
-            tb = jnp.clip(jnp.asarray(tb, ftype), self._t0, self._t1)
-            tb = jnp.maximum(ta, tb)
-            depth = self._levels
-            w_prefs, i_prefs, starts, words = jax.vmap(
-                lambda t: self._prefix(depth, t=t)
-            )(jnp.stack([ta, tb]))
-            h = (starts[1] - starts[0]).astype(dtype)
-            degenerate = starts[1] == starts[0]
+        ``bits`` is the ``(n, depth)`` trimmed branch-bit matrix from
+        :meth:`_host_bits`. The depth is padded up to the next multiple of 8
+        (capped at ``levels``) and the compiled program is cached per padded
+        depth: trailing zero bits descend left, which changes none of the
+        descent outputs (``w_pref``/``i_pref``/``words`` only accumulate on
+        right-branches), so padding is exact — and repeated eager queries of
+        one sampler hit at most ``ceil(levels/8)`` compiled programs instead
+        of re-tracing the descent on every call.
+        """
+        depth = bits.shape[1]
+        bucket = min(self._levels, -(-depth // 8) * 8) if depth else 0
+        if bucket > depth:
+            bits = np.pad(np.asarray(bits), ((0, 0), (0, bucket - depth)))
+        fn = self._cprefix_cache.get(bucket)
+        if fn is None:
+            fn = jax.jit(jax.vmap(
+                lambda b, f: self._prefix(bucket, bits=b, full=f)))
+            self._cprefix_cache[bucket] = fn
+        return fn(jnp.asarray(bits), jnp.asarray(full))
 
+    def _pair_stats(self, w_prefs, i_prefs, words, h, degenerate):
+        """Shared tail of a two-point query: interval statistics from the two
+        prefix descents. Returns ``(W, U, A)`` (``U``/``A`` are ``None``
+        unless the sampler carries them)."""
         w_a, i_a = w_prefs[0], i_prefs[0]
         w_b, i_b = w_prefs[1], i_prefs[1]
 
@@ -466,6 +462,63 @@ class BrownianInterval(base.BaseBrownian):
         U_out = None
         if self._have_H:
             U_out = h * (0.5 * W + H)
+        return W, U_out, A
+
+    def _concrete_query(self, bits, full, h, degenerate):
+        """Whole two-point query (descents + pair statistics) as ONE cached
+        jitted program, bucketed by depth like :meth:`_concrete_prefix`, so
+        an eager ``bm(ta, tb)`` call costs one device dispatch instead of an
+        op-by-op re-trace."""
+        depth = bits.shape[1]
+        bucket = min(self._levels, -(-depth // 8) * 8) if depth else 0
+        if bucket > depth:
+            bits = np.pad(np.asarray(bits), ((0, 0), (0, bucket - depth)))
+        fn = self._cquery_cache.get(bucket)
+        if fn is None:
+            def _q(bits, full, h, degenerate):
+                w_prefs, i_prefs, _, words = jax.vmap(
+                    lambda b, f: self._prefix(bucket, bits=b, full=f)
+                )(bits, full)
+                return self._pair_stats(w_prefs, i_prefs, words, h, degenerate)
+            fn = jax.jit(_q)
+            self._cquery_cache[bucket] = fn
+        return fn(jnp.asarray(bits), jnp.asarray(full), h, degenerate)
+
+    def __call__(self, ta, tb=None, return_U=False, return_A=False):
+        if tb is None:
+            warnings.warn(f"{self.__class__.__name__} is optimised for interval-based "
+                          f"queries, not point evaluation.")
+            ta, tb = self._t0, ta
+
+        dtype = self.dtype
+        if _is_concrete_scalar(ta) and _is_concrete_scalar(tb):
+            fa, fb = float(ta), float(tb)
+            if fa < self._t0 or fb < self._t0:
+                warnings.warn(f"Query times should be >= t0={self._t0}; clamping.")
+            if fa > self._t1 or fb > self._t1:
+                warnings.warn(f"Query times should be <= t1={self._t1}; clamping.")
+            if fa > fb:
+                raise RuntimeError(f"Query times ta={fa:.3f} and tb={fb:.3f} must "
+                                   f"respect ta <= tb.")
+            bits, starts, full = self._host_bits(np.asarray([fa, fb]))
+            eff = np.where(full, self._t1, starts)
+            h_exact = float(eff[1] - eff[0])
+            W, U_out, A = self._concrete_query(
+                bits, full, jnp.asarray(h_exact, dtype),
+                jnp.asarray(h_exact == 0.0))
+        else:
+            ftype = jax.dtypes.canonicalize_dtype(jnp.float64)
+            ta = jnp.clip(jnp.asarray(ta, ftype), self._t0, self._t1)
+            tb = jnp.clip(jnp.asarray(tb, ftype), self._t0, self._t1)
+            tb = jnp.maximum(ta, tb)
+            depth = self._levels
+            w_prefs, i_prefs, starts, words = jax.vmap(
+                lambda t: self._prefix(depth, t=t)
+            )(jnp.stack([ta, tb]))
+            h = (starts[1] - starts[0]).astype(dtype)
+            degenerate = starts[1] == starts[0]
+            W, U_out, A = self._pair_stats(w_prefs, i_prefs, words, h,
+                                           degenerate)
 
         if return_U and return_A:
             return W, U_out, A
@@ -541,10 +594,7 @@ class BrownianInterval(base.BaseBrownian):
         """
         grid = np.asarray(grid, np.float64)
         bits, starts, full = self._host_bits(grid)
-        depth = bits.shape[1]
-        w_prefs, i_prefs, _, words = jax.vmap(
-            lambda b, f: self._prefix(depth, bits=b, full=f)
-        )(jnp.asarray(bits), jnp.asarray(full))
+        w_prefs, i_prefs, _, words = self._concrete_prefix(bits, full)
 
         dtype = self.dtype
         eff = np.where(full, self._t1, starts)
