@@ -159,6 +159,10 @@ def main():
     p.add_argument("--ref-only", action="store_true",
                    help="only run the reference denominator (host CPU)")
     args = p.parse_args()
+    if args.ref_only and args.skip_ref:
+        p.error("--ref-only with --skip-ref selects no benchmarks")
+    if args.ref_only and args.cpu:
+        p.error("--cpu only applies to our side; meaningless with --ref-only")
 
     from bench import host_load_check
     load1, idle = host_load_check()

@@ -415,22 +415,27 @@ class BrownianInterval(base.BaseBrownian):
     #  Query                                                             #
     # ------------------------------------------------------------------ #
 
-    def _concrete_prefix(self, bits, full):
-        """Batched descent for host-resolved queries, jitted and cached.
-
-        ``bits`` is the ``(n, depth)`` trimmed branch-bit matrix from
-        :meth:`_host_bits`. The depth is padded up to the next multiple of 8
-        (capped at ``levels``) and the compiled program is cached per padded
-        depth: trailing zero bits descend left, which changes none of the
-        descent outputs (``w_pref``/``i_pref``/``words`` only accumulate on
-        right-branches), so padding is exact — and repeated eager queries of
-        one sampler hit at most ``ceil(levels/8)`` compiled programs instead
-        of re-tracing the descent on every call.
-        """
+    def _bucket_bits(self, bits):
+        """Pad a trimmed ``(n, depth)`` branch-bit matrix up to the next
+        multiple-of-8 depth bucket (capped at ``levels``). Trailing zero bits
+        descend left, which changes none of the descent outputs
+        (``w_pref``/``i_pref``/``words`` only accumulate on right-branches),
+        so padding is exact — and it bounds the number of distinct compiled
+        programs per sampler to O(levels/8) (``ceil(levels/8) + 1`` counting
+        the depth-0 bucket, plus one more when ``levels`` is not a multiple
+        of 8). Shared by :meth:`_concrete_prefix` and :meth:`_concrete_query`
+        so both caches use identical bucket semantics."""
         depth = bits.shape[1]
         bucket = min(self._levels, -(-depth // 8) * 8) if depth else 0
         if bucket > depth:
             bits = np.pad(np.asarray(bits), ((0, 0), (0, bucket - depth)))
+        return bits, bucket
+
+    def _concrete_prefix(self, bits, full):
+        """Batched descent for host-resolved queries, jitted and cached per
+        depth bucket (see :meth:`_bucket_bits`). ``bits`` is the ``(n, depth)``
+        trimmed branch-bit matrix from :meth:`_host_bits`."""
+        bits, bucket = self._bucket_bits(bits)
         fn = self._cprefix_cache.get(bucket)
         if fn is None:
             fn = jax.jit(jax.vmap(
@@ -438,10 +443,15 @@ class BrownianInterval(base.BaseBrownian):
             self._cprefix_cache[bucket] = fn
         return fn(jnp.asarray(bits), jnp.asarray(full))
 
-    def _pair_stats(self, w_prefs, i_prefs, words, h, degenerate):
+    def _pair_stats(self, w_prefs, i_prefs, words, h, degenerate,
+                    with_A=True):
         """Shared tail of a two-point query: interval statistics from the two
-        prefix descents. Returns ``(W, U, A)`` (``U``/``A`` are ``None``
-        unless the sampler carries them)."""
+        prefix descents. Returns ``(W, U, A, H)`` (``U``/``A``/``H`` are
+        ``None`` unless the sampler carries them / ``with_A``). ``with_A=False``
+        skips the Lévy-area draw so a caller can compute A *eagerly* outside a
+        jitted program (the concrete path must: XLA FMA-contracts the
+        ``H⊗W − W⊗H`` chain inside jit, which would break bitwise agreement
+        with :meth:`query_grid`'s eager A — advisor finding r4)."""
         w_a, i_a = w_prefs[0], i_prefs[0]
         w_b, i_b = w_prefs[1], i_prefs[1]
 
@@ -456,33 +466,41 @@ class BrownianInterval(base.BaseBrownian):
         W = jnp.where(degenerate, jnp.zeros_like(W), W)
 
         A = None
-        if self._have_A:
+        if self._have_A and with_A:
             A = self._levy_area(words[0], words[1], W, H, h, degenerate)
 
         U_out = None
         if self._have_H:
             U_out = h * (0.5 * W + H)
-        return W, U_out, A
+        return W, U_out, A, H
 
     def _concrete_query(self, bits, full, h, degenerate):
-        """Whole two-point query (descents + pair statistics) as ONE cached
-        jitted program, bucketed by depth like :meth:`_concrete_prefix`, so
-        an eager ``bm(ta, tb)`` call costs one device dispatch instead of an
-        op-by-op re-trace."""
-        depth = bits.shape[1]
-        bucket = min(self._levels, -(-depth // 8) * 8) if depth else 0
-        if bucket > depth:
-            bits = np.pad(np.asarray(bits), ((0, 0), (0, bucket - depth)))
+        """Two-point query with the descents + W/U statistics as ONE cached
+        jitted program, bucketed by depth via :meth:`_bucket_bits`, so an
+        eager ``bm(ta, tb)`` call costs one device dispatch instead of an
+        op-by-op re-trace. The full Lévy area A is computed *eagerly* from the
+        returned branch words — deliberately outside the jitted program, so
+        its ``H⊗W − W⊗H`` arithmetic rounds op-by-op exactly like
+        :meth:`query_grid`'s eager path and the query-context-independence
+        contract (PARITY.md) stays bitwise."""
+        bits, bucket = self._bucket_bits(bits)
         fn = self._cquery_cache.get(bucket)
         if fn is None:
             def _q(bits, full, h, degenerate):
                 w_prefs, i_prefs, _, words = jax.vmap(
                     lambda b, f: self._prefix(bucket, bits=b, full=f)
                 )(bits, full)
-                return self._pair_stats(w_prefs, i_prefs, words, h, degenerate)
+                W, U_out, _, H = self._pair_stats(w_prefs, i_prefs, words, h,
+                                                  degenerate, with_A=False)
+                return W, U_out, H, words
             fn = jax.jit(_q)
             self._cquery_cache[bucket] = fn
-        return fn(jnp.asarray(bits), jnp.asarray(full), h, degenerate)
+        W, U_out, H, words = fn(jnp.asarray(bits), jnp.asarray(full), h,
+                                degenerate)
+        A = None
+        if self._have_A:
+            A = self._levy_area(words[0], words[1], W, H, h, degenerate)
+        return W, U_out, A
 
     def __call__(self, ta, tb=None, return_U=False, return_A=False):
         if tb is None:
@@ -517,8 +535,8 @@ class BrownianInterval(base.BaseBrownian):
             )(jnp.stack([ta, tb]))
             h = (starts[1] - starts[0]).astype(dtype)
             degenerate = starts[1] == starts[0]
-            W, U_out, A = self._pair_stats(w_prefs, i_prefs, words, h,
-                                           degenerate)
+            W, U_out, A, _ = self._pair_stats(w_prefs, i_prefs, words, h,
+                                              degenerate)
 
         if return_U and return_A:
             return W, U_out, A
