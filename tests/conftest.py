@@ -18,11 +18,18 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("TSDE_TPU_TESTS") == "1":
+    # Real-device tier (VERDICT r4 item 7): `TSDE_TPU_TESTS=1 pytest -m tpu`
+    # leaves the platform alone (the axon plugin exposes the TPU chip) and
+    # keeps the default f32 — the tpu-marked tests in test_tpu_device.py are
+    # written for on-chip f32 and skip themselves on any other backend.
+    import jax  # noqa: E402
+else:
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax  # noqa: E402
+    import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
