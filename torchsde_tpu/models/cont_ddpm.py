@@ -151,22 +151,46 @@ class ReverseDiffeqWrapper(Module):
         return -self.module.g(-t, x).reshape(y.shape[0], -1)
 
     def sde_sample(self, key, batch_size=64, tau=1.0, dt=1e-2, t_size=2,
-                   tweedie_correction=True):
-        """Reverse-time SDE sampling on flattened images."""
+                   tweedie_correction=True, denoise_t=None):
+        """Reverse-time SDE sampling on flattened images.
+
+        ``denoise_t > 0`` stops the reverse solve at that time and jumps to
+        ``t0`` with the exact Tweedie posterior mean :meth:`denoise` — the
+        standard fix for residual speckle: near ``t=0`` the marginal variance
+        (and the score-matching weight ``lambda_t``) vanish, so the learned
+        score there is too weak to scrub the last injected noise, while at
+        ``denoise_t`` the score is well-trained and the denoising jump is
+        analytically exact given the score."""
         k1, k2 = jax.random.split(key)
         y = self.module.sample_t1_marginal(k1, batch_size, tau)
+        t_lo = float(denoise_t) if denoise_t else self.t0
         # numpy, not jnp: `ts` must stay concrete at trace time so sampling
         # can live inside an outer jit (jnp.linspace returns a tracer there).
-        ts = np.linspace(-self.t1, -self.t0, t_size)
+        ts = np.linspace(-self.t1, -t_lo, t_size)
         ys = sdeint(self, y.reshape(batch_size, -1), ts, dt=dt, method="midpoint",
                     key=k2)
         ys = ys.reshape(t_size, batch_size, *self.module.input_size)
-        if tweedie_correction:
+        if denoise_t:
+            ys = ys.at[-1].set(self.denoise(t_lo, ys[-1]))
+        elif tweedie_correction:
             ys = ys.at[-1].set(self.tweedie_correction(self.t0, ys[-1], dt))
         return ys
 
-    def sde_sample_final(self, key, batch_size=64, tau=1.0, dt=1e-2):
-        return self.sde_sample(key, batch_size, tau, dt)[-1]
+    def sde_sample_final(self, key, batch_size=64, tau=1.0, dt=1e-2,
+                         denoise_t=None):
+        return self.sde_sample(key, batch_size, tau, dt,
+                               denoise_t=denoise_t)[-1]
+
+    def denoise(self, t, y):
+        """Exact Tweedie denoising from the time-``t`` marginal to ``t0``:
+        ``E[x_{t0} | x_t] = (x_t + var(t) * score(t, x_t)) / mean_coeff(t)``
+        (Tweedie's formula for the VP-SDE conditional
+        ``x_t ~ N(mean_coeff * x_0, var)``)."""
+        m = self.module
+        t = jnp.asarray(t, jnp.float32)
+        var = m.analytical_var(t)
+        coeff = jnp.exp(-0.5 * (m._indefinite_int(t) - m._indefinite_int(m.t0)))
+        return (y + var * m.score(t, y)) / coeff
 
     def ode_sample(self, batch_size=64, tau=1.0, y=None, dt=1e-2, key=None):
         """Probability-flow ODE sampling with fixed-step RK4
