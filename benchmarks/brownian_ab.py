@@ -51,6 +51,21 @@ def make_patterns():
     return {"sequential": pairs(seq), "random": pairs(rnd)}
 
 
+def make_point_sets():
+    """The same two access patterns as point sets + static index pairs, for
+    the designed bulk APIs (query_grid / query_pairs): identical interval
+    values to make_patterns, one descent per *point* instead of two per
+    *pair*."""
+    import numpy as np
+    seq = np.linspace(T0, T1, STEPS)
+    rng = np.random.RandomState(456789)
+    rnd = rng.uniform(T0, T1, STEPS)
+    idx = [(i, i + 1) if rnd[i] <= rnd[i + 1] else (i + 1, i)
+           for i in range(STEPS - 1)]
+    return {"sequential": (seq, [(i, i + 1) for i in range(STEPS - 1)]),
+            "random": (rnd, idx)}
+
+
 def best_of(fn):
     best = float("inf")
     for _ in range(OUTER):
@@ -147,6 +162,42 @@ def bench_ours(cpu):
             float(bulk(tpairs))  # compile (shared across patterns per size)
             record(out, f"ours-{plat}/jit-scan/{size[0]}x{size[1]}/{pat}",
                    round(best_of(run_bulk), 1))
+
+        # (c) the DESIGNED bulk APIs — one descent per point instead of two
+        # per pair, all 99 intervals answered together: query_grid for the
+        # sorted sequential grid (the fixed-step solver precompute path),
+        # query_pairs (jitted) for the arbitrary interval set of the random
+        # pattern (the adaptive-step path).
+        points = make_point_sets()
+        seq_pts, _ = points["sequential"]
+
+        def run_qgrid(bm=bm, grid=seq_pts):
+            t = time.perf_counter()
+            for _ in range(REPS):
+                W, _, _ = bm.query_grid(grid)
+                float(jnp.sum(W))
+            return time.perf_counter() - t
+        run_qgrid()  # warmup (compiles the bucketed descent programs)
+        record(out, f"ours-{plat}/query-grid/{size[0]}x{size[1]}/sequential",
+               round(best_of(run_qgrid), 1))
+
+        rnd_pts, rnd_idx = points["random"]
+
+        @jax.jit
+        def qpairs(pts, bm=bm, idx=tuple(rnd_idx)):
+            Ws = bm.query_pairs(pts, idx)
+            return sum(W.sum() for W in Ws)
+
+        rnd_dev = jnp.asarray(rnd_pts)
+
+        def run_qpairs(rnd_dev=rnd_dev):
+            t = time.perf_counter()
+            for _ in range(REPS):
+                float(qpairs(rnd_dev))
+            return time.perf_counter() - t
+        float(qpairs(rnd_dev))  # compile
+        record(out, f"ours-{plat}/query-pairs/{size[0]}x{size[1]}/random",
+               round(best_of(run_qpairs), 1))
     return out
 
 
