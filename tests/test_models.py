@@ -139,3 +139,76 @@ def test_get_ou_data_irregular():
     # the surviving t=0 entries is not directly recoverable post-fill, but
     # the series must stay in a sane range.
     assert float(jnp.abs(data[..., 1]).max()) < 50.0
+
+
+# --------------------------------------------------------------------------- #
+#  cont-DDPM: Tweedie denoising correctness                                    #
+# --------------------------------------------------------------------------- #
+
+class _OracleScore(Module):
+    """Denoiser returning the EXACT score of the VP-SDE marginal for a
+    point-mass data distribution at ``x0``: with
+    ``x_t ~ N(mean_coeff(t) x0, var(t))``,
+    ``score(t, x) = -(x - mean_coeff(t) x0) / var(t)``. Uses the same
+    beta schedule constants as ScoreMatchingSDE's defaults."""
+
+    beta_min, beta_max = 0.1, 20.0
+
+    def __init__(self, x0):
+        self.x0 = x0
+
+    def _coeff_var(self, t):
+        ind = self.beta_min * t + 0.5 * t ** 2 * (self.beta_max - self.beta_min)
+        return jnp.exp(-0.5 * ind), 1.0 - jnp.exp(-ind)
+
+    def __call__(self, t, x):
+        coeff, var = self._coeff_var(t[0])
+        return -(x - coeff * self.x0[None]) / jnp.maximum(var, 1e-12)
+
+
+def test_ddpm_tweedie_denoise_recovers_point_mass():
+    """Tweedie's formula is exact for a point-mass data distribution:
+    E[x0 | x_t] = x0 for every x_t and every t, so denoise(t, x_t) with the
+    oracle score must return x0 to float rounding — a closed-form check of
+    the (x + var * score) / mean_coeff algebra with no solver involved."""
+    from torchsde_tpu.models.cont_ddpm import (ReverseDiffeqWrapper,
+                                               ScoreMatchingSDE)
+
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.uniform(key, (1, 4, 4), jnp.float64) * 2 - 1
+    sde = ScoreMatchingSDE(_OracleScore(x0), input_size=(1, 4, 4))
+    rev = ReverseDiffeqWrapper(sde)
+
+    for t in (0.03, 0.1, 0.5, 0.9):
+        x_t = sde.analytical_sample(jax.random.fold_in(key, int(t * 100)),
+                                    jnp.full((8,), t, jnp.float64),
+                                    jnp.broadcast_to(x0, (8, 1, 4, 4)))
+        x0_hat = rev.denoise(t, x_t)
+        np.testing.assert_allclose(np.asarray(x0_hat),
+                                   np.asarray(jnp.broadcast_to(x0, x0_hat.shape)),
+                                   rtol=0, atol=1e-8)
+
+
+def test_ddpm_sde_sample_denoise_t_plumbing():
+    """sde_sample(denoise_t=...) stops the reverse solve at denoise_t and
+    applies the Tweedie jump: with the oracle score of a point mass, the
+    samples must collapse onto x0 (up to reverse-solve discretisation),
+    far inside the t1-marginal's unit spread."""
+    from torchsde_tpu.models.cont_ddpm import (ReverseDiffeqWrapper,
+                                               ScoreMatchingSDE)
+
+    key = jax.random.PRNGKey(3)
+    x0 = jax.random.uniform(key, (1, 4, 4), jnp.float64) * 2 - 1
+    sde = ScoreMatchingSDE(_OracleScore(x0), input_size=(1, 4, 4))
+    rev = ReverseDiffeqWrapper(sde)
+
+    samp = rev.sde_sample_final(jax.random.fold_in(key, 1), batch_size=16,
+                                dt=5e-3, denoise_t=0.05)
+    assert samp.shape == (16, 1, 4, 4)
+    err = float(jnp.abs(samp - x0[None]).max())
+    assert err < 0.12, err
+    # and the jump matters: stopping at denoise_t WITHOUT the Tweedie jump
+    # leaves the t=0.05 marginal's noise (std ~0.17) in the samples
+    raw = rev.sde_sample(jax.random.fold_in(key, 1), batch_size=16,
+                         dt=5e-3, denoise_t=None, tweedie_correction=False)
+    assert float(jnp.abs(rev.denoise(0.05, raw[-1]) - x0[None]).max()) < 0.2
